@@ -1,0 +1,126 @@
+"""Few-step samplers as `lax.scan` loops (jit-once, no Python step loop).
+
+Mirrors the reference's two sampler families:
+  deterministic  `sample_fn_d` (ddm/ddm_const_2.py:338-389): analytic
+                 invert-and-renoise over a linear time grid; DDM's 10-step
+                 headline path.
+  stochastic     `sample_fn_s` (ddm/ddm_const_2.py:288-336): posterior
+                 mean + sigma*eps steps with mid-loop drift correction.
+
+The reference runs these loops in float64 on GPU; on TPU we run float32
+(fp64 is emulated/slow) — sampler tests pin the numerics instead.
+
+`model_fn(x, t) -> (drift, noise)` is any callable (typically a jitted
+EDMPrecond apply with bound params); x is NHWC, t is (B,).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+ModelFn = Callable[[Array, Array], Tuple[Array, Array]]
+
+
+def unnormalize_to_zero_to_one(x: Array) -> Array:
+    return (x + 1.0) * 0.5
+
+
+def sample_deterministic(
+    process,
+    model_fn: ModelFn,
+    shape: Tuple[int, ...],
+    key: Array,
+    n_steps: int = 10,
+    *,
+    clip_x_start: bool = True,
+    scale_input: float = 1.0,
+    unnormalize: bool = True,
+    final_clip: bool = True,
+) -> Array:
+    """Deterministic few-step sampler (reference `sample_fn_d`).
+
+    shape is NHWC. Starts from N(0, t0^2) noise and scans over consecutive
+    (t_cur, t_next) pairs of `process.t_steps(n_steps)`.
+    """
+    t_steps = process.t_steps(n_steps)
+    x = jax.random.normal(key, shape, jnp.float32) * t_steps[0]
+    batch = shape[0]
+    clip = scale_input if clip_x_start else None
+
+    def body(x, ts):
+        t_cur, t_next = ts
+        tb = jnp.full((batch,), t_cur, jnp.float32)
+        drift, noise = model_fn(x, tb)
+        x = process.deterministic_step(x, drift, noise, t_cur, t_next, clip=clip)
+        return x, None
+
+    pairs = jnp.stack([t_steps[:-1], t_steps[1:]], axis=-1)
+    x, _ = jax.lax.scan(body, x, pairs)
+
+    if final_clip:
+        x = jnp.clip(x, -scale_input, scale_input)
+    if scale_input != 1.0:
+        x = x / scale_input
+    if unnormalize:
+        x = unnormalize_to_zero_to_one(x)
+    return x
+
+
+def sample_stochastic(
+    process,
+    model_fn: ModelFn,
+    shape: Tuple[int, ...],
+    key: Array,
+    n_steps: int = 10,
+    *,
+    denoise: bool = True,
+    clip_x_start: bool = True,
+    scale_input: float = 1.0,
+    unnormalize: bool = True,
+    start_scale: Optional[float] = None,
+) -> Array:
+    """Stochastic sampler (reference `sample_fn_s`, uniform-step variant).
+
+    Uniform steps s = 1/n; with `denoise` the final step is split into
+    (1/n - eps, eps) (ddm/ddm_const_2.py:641-646). The drift is corrected
+    each step via `process.stochastic_correct`, and the very last step uses
+    s = remaining time so the walk lands exactly at t=0.
+    """
+    step = 1.0 / n_steps
+    s_list = [step] * n_steps
+    if denoise:
+        s_list = s_list[:-1] + [step - process.eps, process.eps]
+    s_steps = jnp.asarray(s_list, jnp.float32)
+    n_total = s_steps.shape[0]
+    batch = shape[0]
+    clip = scale_input if clip_x_start else None
+
+    key, init_key = jax.random.split(key)
+    scale0 = process.sigma_max if start_scale is None else start_scale
+    x = jax.random.normal(init_key, shape, jnp.float32) * scale0
+    cur_time = jnp.ones((batch,), jnp.float32)
+
+    def body(carry, inputs):
+        x, cur_time, key = carry
+        i, s_i = inputs
+        s = jnp.where(i == n_total - 1, cur_time, jnp.full_like(cur_time, s_i))
+        drift, noise = model_fn(x, cur_time)
+        drift = process.stochastic_correct(drift, x, noise, cur_time, clip)
+        mean, sigma = process.reverse_mean_sigma(x, drift, noise, cur_time, s)
+        key, eps_key = jax.random.split(key)
+        x = mean + sigma * jax.random.normal(eps_key, mean.shape, mean.dtype)
+        return (x, cur_time - s, key), None
+
+    idx = jnp.arange(n_total)
+    (x, _, _), _ = jax.lax.scan(body, (x, cur_time, key), (idx, s_steps))
+
+    x = jnp.clip(x, -scale_input, scale_input)
+    if scale_input != 1.0:
+        x = x / scale_input
+    if unnormalize:
+        x = unnormalize_to_zero_to_one(x)
+    return x
