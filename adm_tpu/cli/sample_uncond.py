@@ -1,0 +1,82 @@
+"""Unconditional sampling/eval CLI (reference sample_uncond.py:38-180).
+
+Loads a milestone checkpoint (EMA or online weights), writes `sample_num`
+PNGs in batches. FID hookup lands with adm_tpu.metrics (on-device
+InceptionV3) — the reference shells out to the `fidelity` CLI instead
+(sample_uncond.py:177-180).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import math
+import os
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from adm_tpu.train.state import TrainState
+from adm_tpu.train.trainer import Trainer, make_optimizer
+from adm_tpu.utils.config import build_model, load_conf
+from adm_tpu.utils.image import save_image
+
+log = logging.getLogger("adm_tpu")
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="sample unconditional DDM")
+    p.add_argument("--cfg", required=True)
+    p.add_argument("--milestone", type=int, default=None)
+    p.add_argument("--sample-num", type=int, default=None)
+    return p.parse_args()
+
+
+def main():
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    args = parse_args()
+    cfg = load_conf(args.cfg)
+    model_cfg, sampler_cfg = cfg["model"], cfg["sampler"]
+    model = build_model(model_cfg)
+
+    batch_size = int(sampler_cfg.get("batch_size", 64))
+    sample_num = args.sample_num or int(sampler_cfg.get("sample_num", 50000))
+    use_ema = bool(sampler_cfg.get("use_ema", True))
+    save_folder = Path(sampler_cfg["save_folder"])
+    save_folder.mkdir(parents=True, exist_ok=True)
+
+    # restore state
+    import orbax.checkpoint as ocp
+
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer, _ = make_optimizer(1e-4, total_steps=1)
+    state = TrainState.create(params, optimizer.init(params))
+    ckpt_path = sampler_cfg.get("ckpt_path")
+    if args.milestone is not None:
+        ckpt_path = str(
+            Path(cfg["trainer"]["results_folder"]) / f"model-{args.milestone}"
+        )
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(os.path.abspath(ckpt_path), state)
+    weights = state.ema_params if use_ema else state.params
+    log.info("restored %s (step %d, ema=%s)", ckpt_path, int(state.step), use_ema)
+
+    sample = jax.jit(
+        lambda p, k: model.sample(p, k, batch_size=batch_size, unnormalize=True)
+    )
+    batch_num = math.ceil(sample_num / batch_size)
+    written = 0
+    for idx in range(batch_num):
+        imgs = np.asarray(sample(weights, jax.random.PRNGKey(idx)))
+        take = min(batch_size, sample_num - written)
+        for j in range(take):
+            save_image(imgs[j], str(save_folder / f"{written + j:010d}.png"))
+        written += take
+        if idx % 10 == 0:
+            log.info("sampled %d/%d", written, sample_num)
+    log.info("done: %d images in %s", written, save_folder)
+
+
+if __name__ == "__main__":
+    main()

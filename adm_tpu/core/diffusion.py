@@ -1,0 +1,325 @@
+"""DDPM / LatentDiffusion — the process+network bundles with the reference's
+API surface (training_step / sample / q_sample / pred_x0), in functional form.
+
+Mirrors ddm/ddm_const_2.py:43-389 (DDPM) and :393-737 (LatentDiffusion) —
+the self-consistent `model=` API that all four reference processes share
+(SURVEY.md section 0). Parameters are explicit pytrees; every method is
+jit-able and shard-agnostic (the trainer pjits them over the data axis).
+
+Deliberate deviations from the reference (documented, not accidental):
+  * the reference's `loss_vlb` multiplies a (B,) per-sample term by a (B,1)
+    weight, broadcasting to (B,B) before the final sum/B
+    (ddm/ddm_const_2.py:249,566-568). We compute the intended per-sample
+    product; scale differs by a factor sum(w)/w_i spread (tests pin ours).
+  * samplers run fp32 (TPU fp64 is emulated); reference uses fp64 loops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from adm_tpu.core import sampling
+from adm_tpu.core.processes import LinearProcess, bcast_right, get_process
+
+Array = jax.Array
+PerceptualFn = Callable[[Array, Array], Array]  # (x, y) -> (B,) distance
+
+
+def _per_sample_sq(a: Array, b: Array) -> Array:
+    """Per-sample summed squared error over all non-batch axes
+    (= reference MSE_Loss(reduction='sum'), ddm/loss.py:300-310)."""
+    d = (a - b) ** 2
+    return jnp.sum(d.reshape(d.shape[0], -1), axis=1)
+
+
+def _per_sample_abs(a: Array, b: Array) -> Array:
+    d = jnp.abs(a - b)
+    return jnp.sum(d.reshape(d.shape[0], -1), axis=1)
+
+
+@dataclasses.dataclass(frozen=True)
+class DDPM:
+    """Image-space decoupled diffusion (reference ddm/ddm_const_2.py:43)."""
+
+    net: Any  # flax module: (x, sigma, ...) -> (drift_pred, noise_pred)
+    process_name: str = "const"
+    image_size: Tuple[int, int] = (32, 32)
+    channels: int = 3
+    sampling_timesteps: int = 10
+    eps: float = 1e-4
+    sigma_min: float = 1e-2
+    sigma_max: float = 1.0
+    weighting_loss: bool = False
+    use_l1: bool = False
+    perceptual_weight: float = 0.0
+    clip_x_start: bool = True
+    scale_input: float = 1.0
+    start_dist: str = "normal"
+    sample_type: str = "deterministic"
+    # hooks (host-constructed, jit-traced):
+    perceptual_fn: Optional[PerceptualFn] = None
+    augment_fn: Optional[Callable] = None  # (x, key) -> (x_aug, aug_labels)
+
+    @property
+    def process(self):
+        return get_process(
+            self.process_name,
+            eps=self.eps,
+            sigma_min=self.sigma_min,
+            sigma_max=self.sigma_max,
+        )
+
+    # ------------------------------------------------------------------
+    def init(self, rng: Array, batch_size: int = 1) -> Any:
+        h, w = self.image_size
+        x = jnp.zeros((batch_size, h, w, self.channels), jnp.float32)
+        t = jnp.full((batch_size,), 0.5, jnp.float32)
+        # one compiled init program — hundreds of eager per-param dispatches
+        # are pathologically slow on the tunneled single-chip setup
+        return jax.jit(self.net.init)(rng, x, t)
+
+    def apply_net(
+        self,
+        params: Any,
+        x: Array,
+        t: Array,
+        cond: Optional[Array] = None,
+        *,
+        train: bool = False,
+        rngs: Optional[dict] = None,
+        augment_labels: Optional[Array] = None,
+    ) -> Tuple[Array, Array]:
+        kwargs = dict(deterministic=not train)
+        if augment_labels is not None:
+            kwargs["augment_labels"] = augment_labels
+        if cond is not None:
+            return self.net.apply(params, x, t, cond, rngs=rngs, **kwargs)
+        return self.net.apply(params, x, t, rngs=rngs, **kwargs)
+
+    # ------------------------------------------------------------------
+    def sample_noise(self, key: Array, shape) -> Array:
+        if self.start_dist == "normal":
+            return jax.random.normal(key, shape, jnp.float32)
+        if self.start_dist == "uniform":
+            return 2 * jax.random.uniform(key, shape, jnp.float32) - 1
+        raise NotImplementedError(f"start_dist {self.start_dist}")
+
+    def p_losses(
+        self,
+        params: Any,
+        x_start: Array,
+        t: Array,
+        key: Array,
+        cond: Optional[Array] = None,
+        *,
+        train: bool = True,
+    ) -> Tuple[Array, Dict[str, Array]]:
+        """Weighted decoupled loss (reference ddm/ddm_const_2.py:199-258)."""
+        proc = self.process
+        k_noise, k_drift, k_aug, k_drop = jax.random.split(key, 4)
+        noise = self.sample_noise(k_noise, x_start.shape)
+
+        augment_labels = None
+        if self.augment_fn is not None and train:
+            x_start, augment_labels = self.augment_fn(x_start, k_aug)
+
+        drift = proc.drift_targets(x_start, k_drift)
+        x_noisy = proc.q_sample(x_start, drift, noise, t)
+        rngs = {"dropout": k_drop} if train else None
+        drift_pred, noise_pred = self.apply_net(
+            params,
+            x_noisy,
+            t,
+            cond,
+            train=train,
+            rngs=rngs,
+            augment_labels=augment_labels,
+        )
+
+        if self.process_name == "const":
+            # reference ddm_const.py:326: x_rec = -C_pred directly
+            x_rec = -drift_pred
+        else:
+            x_rec = proc.pred_x0(x_noisy, drift_pred, noise_pred, t)
+
+        if self.weighting_loss:
+            w1, w2 = proc.loss_weights(t)
+        else:
+            w1 = w2 = jnp.ones_like(t)
+
+        loss_simple = w1 * _per_sample_sq(drift_pred, drift) + w2 * _per_sample_sq(
+            noise_pred, noise
+        )
+        if self.use_l1:
+            loss_simple = (
+                loss_simple
+                + w1 * _per_sample_abs(drift_pred, drift)
+                + w2 * _per_sample_abs(noise_pred, noise)
+            ) / 2
+
+        loss_vlb = jnp.zeros_like(loss_simple)
+        if self.perceptual_weight > 0 and self.perceptual_fn is not None:
+            rec_weight = -jnp.log(t) / 2
+            loss_vlb = (
+                self.perceptual_fn(x_rec, x_start) * rec_weight * self.perceptual_weight
+            )
+
+        batch = x_start.shape[0]
+        loss = (jnp.sum(loss_simple) + jnp.sum(loss_vlb)) / batch
+        denom = batch * x_start.shape[1] * x_start.shape[2] * x_start.shape[3]
+        loss_dict = {
+            "train/loss_simple": jnp.sum(loss_simple) / denom,
+            "train/loss_vlb": jnp.sum(loss_vlb) / denom,
+            "train/loss": loss / (denom / batch),
+        }
+        return loss, loss_dict
+
+    def training_step(
+        self, params: Any, batch: Dict[str, Array], key: Array, *, train: bool = True
+    ) -> Tuple[Array, Dict[str, Array]]:
+        """t ~ U(eps, 1) then p_losses (reference ddm/ddm_const_2.py:157-170)."""
+        x = batch["image"]
+        cond = batch.get("cond")
+        if self.scale_input != 1.0:
+            x = x * self.scale_input
+        k_t, k_p = jax.random.split(key)
+        t = (
+            jax.random.uniform(k_t, (x.shape[0],), jnp.float32) * (1.0 - self.eps)
+            + self.eps
+        )
+        return self.p_losses(params, x, t, k_p, cond, train=train)
+
+    # ------------------------------------------------------------------
+    def _model_fn(self, params: Any, cond: Optional[Array] = None):
+        def fn(x, t):
+            return self.apply_net(params, x, t, cond, train=False)
+
+        return fn
+
+    def sample(
+        self,
+        params: Any,
+        key: Array,
+        batch_size: int = 16,
+        cond: Optional[Array] = None,
+        *,
+        unnormalize: bool = True,
+    ) -> Array:
+        h, w = self.image_size
+        if cond is not None:
+            batch_size = cond.shape[0]
+        shape = (batch_size, h, w, self.channels)
+        fn = self._model_fn(params, cond)
+        if self.sample_type == "deterministic":
+            return sampling.sample_deterministic(
+                self.process,
+                fn,
+                shape,
+                key,
+                self.sampling_timesteps,
+                clip_x_start=self.clip_x_start,
+                scale_input=self.scale_input,
+                unnormalize=unnormalize,
+            )
+        return sampling.sample_stochastic(
+            self.process,
+            fn,
+            shape,
+            key,
+            self.sampling_timesteps,
+            clip_x_start=self.clip_x_start,
+            scale_input=self.scale_input,
+            unnormalize=unnormalize,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class LatentDiffusion(DDPM):
+    """Latent-space diffusion with a frozen first-stage VAE
+    (reference ddm/ddm_const_2.py:393-737).
+
+    `first_stage` is an object exposing encode(params_fs, x, key) -> z and
+    decode(params_fs, z) -> x plus down_ratio; its params ride along frozen.
+    """
+
+    first_stage: Any = None
+    scale_factor: float = 1.0
+    scale_by_std: bool = True
+    scale_by_softsign: bool = False
+
+    def encode_input(self, fs_params: Any, x: Array, key: Array) -> Array:
+        z = self.first_stage.encode_sample(fs_params, x, key)
+        z = jax.lax.stop_gradient(z)
+        if self.scale_by_softsign:
+            return jax.nn.soft_sign(z)
+        if self.scale_by_std:
+            return self.scale_factor * z
+        return z
+
+    def calibrate_scale_factor(self, fs_params: Any, x: Array, key: Array) -> Array:
+        """1/std of first-batch encodings (reference ddm_const_2.py:473-491)."""
+        z = self.first_stage.encode_sample(fs_params, x, key)
+        return 1.0 / jnp.std(z.reshape(-1))
+
+    def training_step(self, params, batch, key, *, train=True, fs_params=None):
+        x = batch["image"]
+        cond = batch.get("cond")
+        k_e, k_t, k_p = jax.random.split(key, 3)
+        z = self.encode_input(fs_params, x, k_e)
+        t = (
+            jax.random.uniform(k_t, (z.shape[0],), jnp.float32) * (1.0 - self.eps)
+            + self.eps
+        )
+        return self.p_losses(params, z, t, k_p, cond, train=train)
+
+    def sample(
+        self,
+        params,
+        key,
+        batch_size=16,
+        cond=None,
+        mask=None,
+        *,
+        fs_params=None,
+        unnormalize: bool = True,
+    ):
+        h, w = self.image_size
+        if cond is not None:
+            batch_size = cond.shape[0]
+        ratio = self.first_stage.down_ratio
+        shape = (batch_size, h // ratio, w // ratio, self.channels)
+        fn = self._model_fn(params, cond)
+        if self.sample_type == "deterministic":
+            z = sampling.sample_deterministic(
+                self.process,
+                fn,
+                shape,
+                key,
+                self.sampling_timesteps,
+                clip_x_start=False,
+                unnormalize=False,
+                final_clip=False,
+            )
+        else:
+            z = sampling.sample_stochastic(
+                self.process,
+                fn,
+                shape,
+                key,
+                self.sampling_timesteps,
+                clip_x_start=not self.scale_by_softsign,
+                unnormalize=False,
+            )
+        if self.scale_by_std:
+            z = z / self.scale_factor
+        elif self.scale_by_softsign:
+            z = z / (1 - jnp.abs(z))
+        x_rec = self.first_stage.decode(fs_params, z.astype(jnp.float32))
+        x_rec = jnp.clip(sampling.unnormalize_to_zero_to_one(x_rec), 0.0, 1.0)
+        if mask is not None and cond is not None:
+            x_rec = mask * sampling.unnormalize_to_zero_to_one(cond) + (1 - mask) * x_rec
+        return x_rec

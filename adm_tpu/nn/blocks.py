@@ -178,8 +178,10 @@ class Conv2d(nn.Module):
             x = _fir_up_padded(x, self.resample_filter, max(f_pad - w_pad, 0))
             x = wconv(x, max(w_pad - f_pad, 0))
         elif self.fused_resample and self.down and w is not None:
+            # reference pads only the weight conv; the FIR stride-2 conv is
+            # unpadded (unet/uncond_unet.py:101-103)
             x = wconv(x, w_pad + f_pad)
-            x = fir_downsample_2x(x, self.resample_filter)
+            x = _fir_down_padded(x, self.resample_filter, 0)
         else:
             if self.up:
                 x = fir_upsample_2x(x, self.resample_filter)
@@ -198,6 +200,21 @@ class Conv2d(nn.Module):
             )
             x = x + b.astype(self.dtype)
         return x
+
+
+def _fir_down_padded(x: Array, resample_filter: Sequence[float], pad: int) -> Array:
+    """Depthwise stride-2 FIR conv with explicit padding (fused path)."""
+    k2 = _fir_kernel_2d(resample_filter)
+    c = x.shape[-1]
+    kern = jnp.tile(k2[:, :, None, None], (1, 1, 1, c)).astype(x.dtype)
+    return jax.lax.conv_general_dilated(
+        x,
+        kern,
+        window_strides=(2, 2),
+        padding=[(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
 
 
 def _fir_up_padded(x: Array, resample_filter: Sequence[float], pad: int) -> Array:

@@ -1,0 +1,52 @@
+"""Device mesh + sharding helpers — the GSPMD replacement for the
+reference's accelerate/DDP/NCCL layer (SURVEY.md section 2.11).
+
+One mesh with axes ('data', 'model'):
+  * 'data'  — batch sharding; the only axis the reference's capability set
+    needs (its sole parallelism is DDP).
+  * 'model' — reserved, size 1 by default; lets tensor-parallel shardings be
+    added later without API change (SURVEY.md section 5.7).
+
+Collectives are inserted by XLA from sharding annotations: gradients and
+metrics reduce over ICI exactly where DDP used NCCL allreduce. There are no
+explicit barriers — dispatch order plus block_until_ready at checkpoint
+points replaces `accelerator.wait_for_everyone()`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: Optional[int] = None, n_model: int = 1, devices=None
+) -> Mesh:
+    """Build the ('data', 'model') mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    arr = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(arr, ("data", "model"))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'; replicate the rest."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch dict onto the mesh, batch-axis sharded.
+
+    Single-process path; multi-host uses
+    jax.make_array_from_process_local_data with the same sharding.
+    """
+    sh = data_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

@@ -1,0 +1,246 @@
+"""Unified trainer — replaces the reference's five near-duplicated ~350-line
+Trainer classes (train_uncond_dpm.py / train_uncond_ldm.py / train_cond_dpm.py
+/ train_cond_ldm.py / train_vae.py, SURVEY.md section 2.5) with ONE jitted
+train step over a GSPMD mesh.
+
+Data-parallel layout: batch sharded on the 'data' mesh axis, params/opt/ema
+replicated. XLA inserts the gradient allreduce where accelerate/DDP used
+NCCL (train_uncond_dpm.py:280). EMA runs on device inside the step
+(vs the reference's rank-0 host-side copy, :308-310). Gradient accumulation
+is a lax.scan over microbatches (:251-280). Grad clipping at global-norm 1.0
+(:292). AdamW + warmup-poly LR (:169-182).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import os
+import time
+from functools import partial
+from pathlib import Path
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from adm_tpu.parallel.mesh import (
+    data_sharding,
+    make_mesh,
+    replicated_sharding,
+    shard_batch,
+)
+from adm_tpu.train.lr import warmup_poly_schedule
+from adm_tpu.train.state import EmaConfig, TrainState, ema_update
+
+log = logging.getLogger("adm_tpu")
+
+
+def make_optimizer(
+    lr: float,
+    total_steps: int,
+    warmup_steps: int = 5000,
+    min_lr: float = 5e-6,
+    weight_decay: float = 1e-4,
+    clip_norm: float = 1.0,
+):
+    schedule = warmup_poly_schedule(lr, total_steps, warmup_steps, min_lr)
+    return optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.adamw(schedule, weight_decay=weight_decay),
+    ), schedule
+
+
+def make_train_step(
+    model,
+    optimizer,
+    ema_cfg: EmaConfig,
+    grad_accum: int = 1,
+    fs_params: Any = None,
+    donate: bool = True,
+):
+    """Build the jitted (state, batch, rng) -> (state, metrics) step.
+
+    `model.training_step(params, micro_batch, key)` must be a pure function
+    (DDPM/LatentDiffusion from adm_tpu.core.diffusion). With grad_accum > 1
+    the batch's leading axis is split into microbatches scanned sequentially
+    — same effective batch, lower peak activation memory.
+    """
+
+    def ts(params, batch, key, scale_factor):
+        del scale_factor  # threaded for LDM std-calibration (round 2 wiring)
+        if fs_params is not None:
+            return model.training_step(params, batch, key, fs_params=fs_params)
+        return model.training_step(params, batch, key)
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
+        key = jax.random.fold_in(rng, state.step)
+
+        if grad_accum == 1:
+            def loss_fn(params):
+                loss, aux = ts(params, batch, key, state.scale_factor)
+                return loss, aux
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+        else:
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape(grad_accum, x.shape[0] // grad_accum, *x.shape[1:]),
+                batch,
+            )
+
+            def body(carry, mb):
+                g_acc, l_acc, i = carry
+                k = jax.random.fold_in(key, i)
+
+                def loss_fn(params):
+                    return ts(params, mb, k, state.scale_factor)
+
+                (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params
+                )
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
+                return (g_acc, l_acc + loss, i + 1), aux
+
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (grads, loss, _), auxs = jax.lax.scan(
+                body, (zero_grads, 0.0, 0), micro
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / grad_accum, grads)
+            loss = loss / grad_accum
+            aux = jax.tree_util.tree_map(lambda a: jnp.mean(a, axis=0), auxs)
+
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, opt_state=new_opt
+        )
+        new_state = new_state.replace(ema_params=ema_update(new_state, ema_cfg))
+        metrics = dict(aux)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["loss"] = loss
+        return new_state, metrics
+
+    return step_fn
+
+
+class Trainer:
+    """Host-side orchestration: data feed, logging, checkpoints, sampling.
+
+    One class covers the reference's uncond/cond x dpm/ldm scripts; the VAE
+    trainer (two optimizers, GAN phases) lives in adm_tpu.vae.trainer.
+    """
+
+    def __init__(
+        self,
+        model,
+        data_iter: Iterator[Dict[str, np.ndarray]],
+        *,
+        train_num_steps: int = 800_000,
+        train_lr: float = 1e-4,
+        min_lr: float = 5e-6,
+        warmup_steps: int = 5000,
+        weight_decay: float = 1e-4,
+        gradient_accumulate_every: int = 1,
+        save_and_sample_every: int = 10_000,
+        log_freq: int = 500,
+        results_folder: str = "./results",
+        ema_cfg: Optional[EmaConfig] = None,
+        resume_milestone: int = 0,
+        mesh=None,
+        fs_params=None,
+        seed: int = 0,
+        sample_batch_size: int = 16,
+    ):
+        self.model = model
+        self.data_iter = data_iter
+        self.train_num_steps = train_num_steps
+        self.save_and_sample_every = save_and_sample_every
+        self.log_freq = log_freq
+        self.results_folder = Path(results_folder)
+        self.results_folder.mkdir(parents=True, exist_ok=True)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.grad_accum = gradient_accumulate_every
+        self.fs_params = fs_params
+        self.sample_batch_size = sample_batch_size
+
+        self.optimizer, self.lr_schedule = make_optimizer(
+            train_lr, train_num_steps, warmup_steps, min_lr, weight_decay
+        )
+        ema_cfg = ema_cfg or EmaConfig()
+
+        init_key, self.train_key = jax.random.split(jax.random.PRNGKey(seed))
+        params = model.init(init_key)
+        opt_state = self.optimizer.init(params)
+        self.state = TrainState.create(params, opt_state)
+
+        step_fn = make_train_step(
+            model, self.optimizer, ema_cfg, self.grad_accum, fs_params
+        )
+        rep = replicated_sharding(self.mesh)
+        dat = data_sharding(self.mesh)
+        self.state = jax.device_put(self.state, rep)
+        self._step = jax.jit(
+            step_fn,
+            in_shardings=(rep, dat, rep),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,),
+        )
+        self._sample = jax.jit(
+            lambda params, key: model.sample(
+                params, key, batch_size=self.sample_batch_size, unnormalize=True
+            )
+        )
+        if resume_milestone:
+            self.load(resume_milestone)
+
+    # -- checkpointing (orbax) ------------------------------------------
+    def _ckpt_dir(self, milestone: int) -> str:
+        return str((self.results_folder / f"model-{milestone}").absolute())
+
+    def save(self, milestone: int):
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(self._ckpt_dir(milestone), self.state, force=True)
+
+    def load(self, milestone: int):
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            self.state = ckptr.restore(self._ckpt_dir(milestone), self.state)
+
+    # -- loop ------------------------------------------------------------
+    def train(self, num_steps: Optional[int] = None, sample_fn: Optional[Callable] = None):
+        total = num_steps or self.train_num_steps
+        t0 = time.time()
+        imgs_seen = 0
+        while int(self.state.step) < total:
+            batch = next(self.data_iter)
+            imgs_seen += next(iter(batch.values())).shape[0]
+            batch = shard_batch(self.mesh, batch)
+            self.state, metrics = self._step(self.state, batch, self.train_key)
+            step = int(self.state.step)
+            if step % self.log_freq == 0 or step == total:
+                m = {k: float(v) for k, v in metrics.items()}
+                dt = time.time() - t0
+                log.info(
+                    "step %d/%d loss=%.4f simple=%.4f grad_norm=%.3f "
+                    "imgs/sec=%.1f",
+                    step,
+                    total,
+                    m.get("loss", 0),
+                    m.get("train/loss_simple", 0),
+                    m.get("grad_norm", 0),
+                    imgs_seen / max(dt, 1e-9),
+                )
+            if self.save_and_sample_every and step % self.save_and_sample_every == 0:
+                milestone = step // self.save_and_sample_every
+                self.save(milestone)
+                if sample_fn is not None:
+                    sample_fn(self, milestone)
+        jax.block_until_ready(self.state.params)
+        return self.state

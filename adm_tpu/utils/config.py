@@ -1,0 +1,180 @@
+"""Config system: the reference's YAML schema driving JAX factories.
+
+The reference instantiates classes reflectively from dotted `class_name`
+paths (ddm/utils.py:94-161, train_uncond_dpm.py:28-50). We keep the exact
+YAML section names and keys — the same config files drive our CLIs — but map
+class names through an explicit registry instead of blind import-reflection
+(the fork's broken-import configs, SURVEY.md section 0, then resolve to the
+working implementations).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+import yaml
+
+from adm_tpu.core.diffusion import DDPM, LatentDiffusion
+from adm_tpu.nn.unets import EDMPrecond
+
+log = logging.getLogger("adm_tpu")
+
+
+def load_conf(path: str) -> Dict[str, Any]:
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+# ---------------------------------------------------------------------------
+# UNet registry: reference class_name -> (variant, n_decoders, skip_tuning)
+# ---------------------------------------------------------------------------
+
+_UNET_VARIANTS = {
+    "unet.uncond_unet.EDMPrecond": dict(variant="const", n_decoders=2),
+    "unet.uncond_unet_2.EDMPrecond": dict(variant="const2", n_decoders=2),
+    "unet.uncond_unet_sd.EDMPrecond": dict(variant="const", n_decoders=1),
+    "unet.uncond_unet_sd_2.EDMPrecond": dict(variant="const2", n_decoders=1),
+    "unet.uncond_unet_sd_3.EDMPrecond": dict(
+        variant="const2", n_decoders=1, skip_tuning=True
+    ),
+    # native names
+    "adm_tpu.EDMPrecond": dict(variant="const", n_decoders=2),
+}
+
+_MODEL_KWARG_KEYS = (
+    "model_channels",
+    "channel_mult",
+    "channel_mult_emb",
+    "num_blocks",
+    "attn_resolutions",
+    "dropout",
+    "label_dropout",
+    "augment_dim",
+)
+_SONG_KWARG_KEYS = (
+    "embedding_type",
+    "channel_mult_noise",
+    "encoder_type",
+    "decoder_type",
+    "resample_filter",
+)
+
+
+def build_unet(unet_cfg: Dict[str, Any], dtype=jnp.float32) -> EDMPrecond:
+    cfg = dict(unet_cfg)
+    class_name = cfg.pop("class_name")
+    if class_name not in _UNET_VARIANTS:
+        raise KeyError(f"unknown unet class_name '{class_name}'")
+    reg = dict(_UNET_VARIANTS[class_name])
+    skip_tuning = reg.pop("skip_tuning", False)
+
+    model_type = cfg.get("model_type", "DhariwalUNet")
+    mk_keys = _MODEL_KWARG_KEYS + (_SONG_KWARG_KEYS if model_type == "SongUNet" else ())
+    model_kwargs = {k: _to_tuple(cfg[k]) for k in mk_keys if k in cfg}
+    if skip_tuning:
+        model_kwargs["skip_tuning"] = True
+
+    return EDMPrecond(
+        img_resolution=cfg["img_resolution"],
+        img_channels=cfg["img_channels"],
+        label_dim=cfg.get("label_dim", 0),
+        sigma_data=cfg.get("sigma_data", 0.5),
+        model_type=model_type,
+        precondition=cfg.get("precondition", True),
+        out_mul=cfg.get("out_mul", 1),
+        dtype=dtype,
+        model_kwargs=model_kwargs,
+        **reg,
+    )
+
+
+def _to_tuple(v):
+    return tuple(v) if isinstance(v, list) else v
+
+
+# ---------------------------------------------------------------------------
+# Process/model registry
+# ---------------------------------------------------------------------------
+
+_PROCESS_BY_CLASS = {
+    "ddm.ddm_const.DDPM": ("const", DDPM),
+    "ddm.ddm_const.LatentDiffusion": ("const", LatentDiffusion),
+    "ddm.ddm_const_2.DDPM": ("const2", DDPM),
+    "ddm.ddm_const_2.LatentDiffusion": ("const2", LatentDiffusion),
+    "ddm.ddm_linear.DDPM": ("linear", DDPM),
+    "ddm.ddm_linear.LatentDiffusion": ("linear", LatentDiffusion),
+    "ddm.ddm_res.DDPM": ("res", DDPM),
+    "ddm.ddm_res.LatentDiffusion": ("res", LatentDiffusion),
+}
+
+
+def build_model(
+    model_cfg: Dict[str, Any],
+    net=None,
+    first_stage=None,
+    perceptual_fn=None,
+    augment_fn=None,
+    dtype=jnp.float32,
+):
+    """Construct DDPM/LatentDiffusion from the reference `model:` section."""
+    cfg = dict(model_cfg)
+    class_name = cfg.pop("class_name")
+    if class_name not in _PROCESS_BY_CLASS:
+        raise KeyError(f"unknown model class_name '{class_name}'")
+    process_name, cls = _PROCESS_BY_CLASS[class_name]
+
+    if net is None:
+        net = build_unet(cfg["unet"], dtype=dtype)
+
+    common = dict(
+        net=net,
+        process_name=process_name,
+        image_size=tuple(cfg.get("image_size", (32, 32))),
+        channels=cfg["unet"].get("img_channels", 3),
+        sampling_timesteps=cfg.get("sampling_timesteps", 10),
+        eps=float(cfg.get("eps", 1e-4)),
+        sigma_min=float(cfg.get("sigma_min", 1e-2)),
+        sigma_max=float(cfg.get("sigma_max", 1.0)),
+        weighting_loss=bool(cfg.get("weighting_loss", False)),
+        use_l1=bool(cfg.get("use_l1", False)),
+        perceptual_weight=float(cfg.get("perceptual_weight", 0.0)),
+        clip_x_start=bool(cfg.get("clip_x_start", True)),
+        scale_input=float(cfg.get("scale_input", 1.0)),
+        start_dist=cfg.get("start_dist", "normal"),
+        sample_type=cfg.get("sample_type", "deterministic"),
+        perceptual_fn=perceptual_fn,
+        augment_fn=augment_fn,
+    )
+    if cls is LatentDiffusion:
+        return LatentDiffusion(
+            first_stage=first_stage,
+            scale_factor=float(cfg.get("scale_factor", 1.0)),
+            scale_by_std=bool(cfg.get("scale_by_std", True)),
+            scale_by_softsign=bool(cfg.get("scale_by_softsign", False)),
+            **common,
+        )
+    return DDPM(**common)
+
+
+# ---------------------------------------------------------------------------
+# Dataset registry
+# ---------------------------------------------------------------------------
+
+
+def build_dataset(data_cfg: Dict[str, Any]):
+    from adm_tpu import data as data_mod
+
+    cfg = dict(data_cfg)
+    class_name = cfg.pop("class_name")
+    cfg.pop("batch_size", None)
+    cfg.pop("num_workers", None)
+    name = class_name.rsplit(".", 1)[-1]
+    mapping = {
+        "CIFAR10": data_mod.CIFAR10,
+        "SyntheticImages": data_mod.SyntheticImages,
+    }
+    if name not in mapping:
+        raise KeyError(f"unknown dataset class_name '{class_name}'")
+    return mapping[name](**cfg)

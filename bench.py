@@ -1,0 +1,104 @@
+"""Benchmark: CIFAR-10 unconditional training throughput (imgs/sec/chip)
+plus 10-step sampling rate, on the flagship two-decoder EDMPrecond.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
+
+Baseline context (BASELINE.md): the reference publishes no numbers; the
+driver target is >= 3x an A100's img/sec/chip for the same config. We use
+an estimated reference throughput A100_REF_IMGS_PER_SEC (documented in
+BASELINE.md) so vs_baseline = ours / (3 * A100_REF).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+# Estimated reference throughput: torch DDP fp16, two-decoder DhariwalUNet
+# (~112M params) at 32x32, per A100 chip. See BASELINE.md for derivation.
+A100_REF_IMGS_PER_SEC = 310.0
+
+BATCH = 128
+TRAIN_STEPS = 20
+SAMPLE_BATCH = 128
+
+
+def main():
+    from adm_tpu.core.diffusion import DDPM
+    from adm_tpu.parallel.mesh import (
+        data_sharding,
+        make_mesh,
+        replicated_sharding,
+        shard_batch,
+    )
+    from adm_tpu.train.state import EmaConfig, TrainState
+    from adm_tpu.train.trainer import make_optimizer, make_train_step
+    from __graft_entry__ import _flagship
+
+    n_chips = len(jax.devices())
+    net, res = _flagship()
+    model = DDPM(
+        net=net,
+        process_name="const",
+        image_size=(res, res),
+        channels=3,
+        weighting_loss=True,
+        sampling_timesteps=10,
+    )
+    mesh = make_mesh()
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer, _ = make_optimizer(1e-4, total_steps=800_000)
+    state = TrainState.create(params, optimizer.init(params))
+    step_fn = make_train_step(model, optimizer, EmaConfig(), grad_accum=1)
+
+    rep = replicated_sharding(mesh)
+    dat = data_sharding(mesh)
+    state = jax.device_put(state, rep)
+    jitted = jax.jit(step_fn, in_shardings=(rep, dat, rep), out_shardings=(rep, rep),
+                     donate_argnums=(0,))
+
+    batch = {"image": jnp.zeros((BATCH * n_chips, res, res, 3), jnp.float32)}
+    batch = shard_batch(mesh, batch)
+    key = jax.random.PRNGKey(1)
+
+    # warmup/compile
+    state, m = jitted(state, batch, key)
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(TRAIN_STEPS):
+        state, m = jitted(state, batch, key)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    train_ips_chip = BATCH * n_chips * TRAIN_STEPS / dt / n_chips
+
+    # 10-step sampling
+    sample = jax.jit(
+        lambda p, k: model.sample(p, k, batch_size=SAMPLE_BATCH, unnormalize=True)
+    )
+    imgs = sample(state.ema_params, key)
+    jax.block_until_ready(imgs)
+    t0 = time.perf_counter()
+    reps = 3
+    for i in range(reps):
+        imgs = sample(state.ema_params, jax.random.PRNGKey(i))
+    jax.block_until_ready(imgs)
+    sample_ips = SAMPLE_BATCH * reps / (time.perf_counter() - t0)
+
+    result = {
+        "metric": "cifar10_train_imgs_per_sec_per_chip",
+        "value": round(train_ips_chip, 2),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(train_ips_chip / (3 * A100_REF_IMGS_PER_SEC), 3),
+        "sample_imgs_per_sec_10step": round(sample_ips, 2),
+        "n_chips": n_chips,
+        "batch_per_chip": BATCH,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
