@@ -1,0 +1,128 @@
+"""Shared CLI wiring for the four diffusion training entry points.
+
+The reference duplicates ~350 lines per script (SURVEY.md section 2.5);
+here each CLI is a thin flavor flag over one implementation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adm_tpu.data.loader import batch_iterator
+from adm_tpu.train.state import EmaConfig
+from adm_tpu.train.trainer import Trainer
+from adm_tpu.utils.config import build_dataset, build_model, load_conf
+from adm_tpu.utils.image import save_image_grid
+
+log = logging.getLogger("adm_tpu")
+
+
+def load_first_stage(cfg):
+    """Build the frozen first-stage VAE and restore its params.
+
+    `model.first_stage` section mirrors the reference's auto_encoder config
+    (train_cond_ldm.py:42-47); params restore from an adm_tpu VAE milestone
+    (orbax) via first_stage.ckpt_path.
+    """
+    from adm_tpu.cli.train_vae import build_vae
+    from adm_tpu.vae.autoencoder import FirstStage
+
+    fs_cfg = cfg["model"]["first_stage"]
+    module = build_vae(fs_cfg)
+    fs = FirstStage(module)
+    h, w = cfg["model"]["image_size"]
+    fs_params = fs.init(
+        jax.random.PRNGKey(0), (h, w), fs_cfg["ddconfig"]["in_channels"]
+    )
+    ckpt = fs_cfg.get("ckpt_path")
+    if ckpt:
+        import os
+
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            restored = ckptr.restore(os.path.abspath(ckpt))
+        # accept either a raw VAEState dict or a params tree
+        if isinstance(restored, dict) and "ae_params" in restored:
+            fs_params = {"params": restored["ae_params"]["ae"]}
+        else:
+            fs_params = restored
+        log.info("restored first stage from %s", ckpt)
+    else:
+        log.warning("first stage initialized RANDOMLY (no ckpt_path)")
+    return fs, fs_params
+
+
+def run_training(args, *, conditional: bool, latent: bool):
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    cfg = load_conf(args.cfg)
+    model_cfg, data_cfg, train_cfg = cfg["model"], cfg["data"], cfg["trainer"]
+
+    fs = fs_params = None
+    if latent:
+        fs, fs_params = load_first_stage(cfg)
+
+    model = build_model(model_cfg, first_stage=fs)
+    dataset = build_dataset(data_cfg)
+    data_iter = batch_iterator(dataset, data_cfg["batch_size"])
+
+    first_batch = next(data_iter)
+    if latent and model.scale_by_std and not model.scale_by_softsign:
+        sf = model.calibrate_scale_factor(
+            fs_params, jnp.asarray(first_batch["image"]), jax.random.PRNGKey(0)
+        )
+        model = dataclasses.replace(model, scale_factor=float(sf))
+        log.info("### USING STD-RESCALING: scale_factor=%.6f", float(sf))
+
+    trainer = Trainer(
+        model,
+        data_iter,
+        train_num_steps=args.num_steps or int(train_cfg["train_num_steps"]),
+        train_lr=float(train_cfg["lr"]),
+        min_lr=float(train_cfg.get("min_lr", 5e-6)),
+        warmup_steps=int(train_cfg.get("warmup_iter", 5000)),
+        weight_decay=float(train_cfg.get("weight_decay", 1e-2 if latent else 1e-4)),
+        gradient_accumulate_every=int(train_cfg.get("gradient_accumulate_every", 1)),
+        save_and_sample_every=int(train_cfg.get("save_and_sample_every", 10000)),
+        log_freq=int(train_cfg.get("log_freq", 500)),
+        results_folder=train_cfg["results_folder"],
+        ema_cfg=EmaConfig(
+            update_after_step=int(train_cfg.get("ema_update_after_step", 10000)),
+            update_every=int(train_cfg.get("ema_update_every", 8)),
+        ),
+        resume_milestone=int(train_cfg.get("resume_milestone", 0)),
+        fs_params=fs_params,
+        sample_batch_size=min(int(data_cfg["batch_size"]), 64),
+    )
+
+    sample_cond = None
+    if conditional:
+        n = min(int(data_cfg["batch_size"]), 16)
+        sample_cond = jnp.asarray(first_batch["cond"][:n])
+
+    def sample_fn(tr: Trainer, milestone):
+        key = jax.random.PRNGKey(int(tr.state.step))
+        kwargs = dict(fs_params=fs_params) if latent else {}
+        if sample_cond is not None:
+            imgs = model.sample(
+                tr.state.ema_params, key, cond=sample_cond, **kwargs
+            )
+        else:
+            imgs = model.sample(
+                tr.state.ema_params, key, batch_size=tr.sample_batch_size, **kwargs
+            )
+        n_img = imgs.shape[0]
+        nrow = 2 ** int(math.floor(math.log2(max(math.sqrt(n_img), 1))))
+        path = str(tr.results_folder / f"sample-{milestone}.png")
+        save_image_grid(np.asarray(imgs), path, nrow=max(nrow, 1))
+        log.info("wrote %s", path)
+
+    if train_cfg.get("test_before", False):
+        sample_fn(trainer, f"init-{model_cfg.get('sampling_timesteps', 10)}")
+    trainer.train(sample_fn=sample_fn)

@@ -1,0 +1,114 @@
+"""Conditional eval CLI: sliding-window sampling + PSNR
+(reference sample_cond_ldm.py:90-434).
+
+Iterates a validation dataset, runs the (latent) conditional sampler over
+overlapping crops with flip-test ensembling, accumulates PSNR, writes PNGs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import math
+import os
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adm_tpu.cli._common import load_first_stage
+from adm_tpu.core.slide import slide_sample
+from adm_tpu.data.loader import batch_iterator
+from adm_tpu.train.state import TrainState
+from adm_tpu.train.trainer import make_optimizer
+from adm_tpu.utils.config import build_dataset, build_model, load_conf
+from adm_tpu.utils.image import save_image
+
+log = logging.getLogger("adm_tpu")
+
+
+def psnr(pred: np.ndarray, target: np.ndarray, max_val: float = 1.0) -> float:
+    mse = float(np.mean((pred - target) ** 2))
+    return 10 * math.log10(max_val**2 / max(mse, 1e-12))
+
+
+def main():
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    p = argparse.ArgumentParser(description="conditional sliding-window eval")
+    p.add_argument("--cfg", required=True)
+    p.add_argument("--num-batches", type=int, default=None)
+    args = p.parse_args()
+    cfg = load_conf(args.cfg)
+    model_cfg, data_cfg, sampler_cfg = cfg["model"], cfg["data"], cfg["sampler"]
+
+    latent = "first_stage" in model_cfg
+    fs = fs_params = None
+    if latent:
+        fs, fs_params = load_first_stage(cfg)
+    model = build_model(model_cfg, first_stage=fs)
+
+    # restore weights
+    import orbax.checkpoint as ocp
+
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer, _ = make_optimizer(1e-4, total_steps=1)
+    state = TrainState.create(params, optimizer.init(params))
+    ckpt_path = sampler_cfg.get("ckpt_path")
+    if ckpt_path and os.path.exists(ckpt_path):
+        with ocp.StandardCheckpointer() as ckptr:
+            state = ckptr.restore(os.path.abspath(ckpt_path), state)
+        log.info("restored %s (step %d)", ckpt_path, int(state.step))
+    else:
+        log.warning("no checkpoint restored (ckpt_path=%s)", ckpt_path)
+    weights = state.ema_params if sampler_cfg.get("use_ema", True) else state.params
+
+    dataset = build_dataset(data_cfg)
+    data_iter = batch_iterator(
+        dataset, int(sampler_cfg.get("batch_size", 1)), shuffle=False
+    )
+    save_folder = Path(sampler_cfg["save_folder"])
+    save_folder.mkdir(parents=True, exist_ok=True)
+
+    kwargs = dict(fs_params=fs_params) if latent else {}
+    sample_crop = jax.jit(
+        lambda c, k: model.sample(weights, k, cond=c, **kwargs)
+    )
+    crop = tuple(sampler_cfg.get("crop_size", model.image_size))
+    stride = tuple(sampler_cfg.get("stride", crop))
+    flip_test = bool(sampler_cfg.get("flip_test", False))
+
+    psnrs = []
+    n_batches = args.num_batches or int(sampler_cfg.get("num_batches", 10**9))
+    written = 0
+    for idx in range(n_batches):
+        try:
+            batch = next(data_iter)
+        except StopIteration:
+            break
+        cond = jnp.asarray(batch["cond"])
+        pred = slide_sample(
+            sample_crop,
+            cond,
+            crop,
+            stride,
+            jax.random.PRNGKey(idx),
+            out_channels=model.channels if not latent else 3,
+            flip_test=flip_test,
+        )
+        if "image" in batch:
+            target = (np.asarray(batch["image"]) + 1) / 2
+            psnrs.append(psnr(pred, target))
+        for j in range(pred.shape[0]):
+            save_image(pred[j], str(save_folder / f"{written + j:08d}.png"))
+        written += pred.shape[0]
+        if idx % 10 == 0:
+            log.info("batch %d, psnr so far: %.3f", idx,
+                     float(np.mean(psnrs)) if psnrs else float("nan"))
+    if psnrs:
+        log.info("FINAL PSNR over %d batches: %.4f", len(psnrs), float(np.mean(psnrs)))
+    log.info("wrote %d images to %s", written, save_folder)
+
+
+if __name__ == "__main__":
+    main()

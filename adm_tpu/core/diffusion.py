@@ -63,6 +63,8 @@ class DDPM:
     # hooks (host-constructed, jit-traced):
     perceptual_fn: Optional[PerceptualFn] = None
     augment_fn: Optional[Callable] = None  # (x, key) -> (x_aug, aug_labels)
+    # conditional models: (H, W, C) of the cond input, None = unconditional
+    cond_shape: Optional[Tuple[int, int, int]] = None
 
     @property
     def process(self):
@@ -80,6 +82,9 @@ class DDPM:
         t = jnp.full((batch_size,), 0.5, jnp.float32)
         # one compiled init program — hundreds of eager per-param dispatches
         # are pathologically slow on the tunneled single-chip setup
+        if self.cond_shape is not None:
+            cond = jnp.zeros((batch_size, *self.cond_shape), jnp.float32)
+            return jax.jit(self.net.init)(rng, x, t, cond)
         return jax.jit(self.net.init)(rng, x, t)
 
     def apply_net(

@@ -1,5 +1,39 @@
 from adm_tpu.data.cifar10 import CIFAR10
 from adm_tpu.data.synthetic import SyntheticImages
 from adm_tpu.data.loader import batch_iterator
+from adm_tpu.data.image_folder import (
+    ImageDataset,
+    ImageNetDataset,
+    LSUNDataset,
+    ImageMaskDataset,
+)
+from adm_tpu.data.paired import (
+    ADE20KDataset,
+    CityscapesDataset,
+    DUTSDataset,
+    EdgeDataset,
+    InpaintDataset,
+    NYUDv2DepthDataset,
+    SketchDataset,
+    SRDataset,
+    SRDatasetTest,
+)
 
-__all__ = ["CIFAR10", "SyntheticImages", "batch_iterator"]
+__all__ = [
+    "CIFAR10",
+    "SyntheticImages",
+    "batch_iterator",
+    "ImageDataset",
+    "ImageNetDataset",
+    "LSUNDataset",
+    "ImageMaskDataset",
+    "ADE20KDataset",
+    "CityscapesDataset",
+    "DUTSDataset",
+    "EdgeDataset",
+    "InpaintDataset",
+    "NYUDv2DepthDataset",
+    "SketchDataset",
+    "SRDataset",
+    "SRDatasetTest",
+]

@@ -1,0 +1,147 @@
+"""Folder-based image datasets (reference ddm/data.py:145-296).
+
+All return {'image': HWC float32 in [-1,1]} (NHWC; reference is CHW).
+Host-side PIL/numpy only.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp", ".JPEG", ".PNG")
+
+
+def list_images(folder: str, recursive: bool = True):
+    out = []
+    if recursive:
+        for root, _, files in os.walk(folder):
+            for f in sorted(files):
+                if f.endswith(EXTS):
+                    out.append(os.path.join(root, f))
+    else:
+        out = [
+            os.path.join(folder, f)
+            for f in sorted(os.listdir(folder))
+            if f.endswith(EXTS)
+        ]
+    return sorted(out)
+
+
+def load_image(path: str, mode: str = "RGB") -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert(mode))
+
+
+def resize(img: np.ndarray, size: Tuple[int, int], method: str = "bilinear"):
+    from PIL import Image
+
+    m = {"bilinear": Image.BILINEAR, "nearest": Image.NEAREST,
+         "bicubic": Image.BICUBIC}[method]
+    im = Image.fromarray(img if img.dtype == np.uint8 else img.astype(np.uint8))
+    im = im.resize((size[1], size[0]), m)
+    return np.asarray(im)
+
+
+def random_crop(img: np.ndarray, size: Tuple[int, int], rng: np.random.RandomState):
+    h, w = img.shape[:2]
+    th, tw = size
+    if h < th or w < tw:
+        img = resize(img, (max(h, th), max(w, tw)))
+        h, w = img.shape[:2]
+    y = rng.randint(0, h - th + 1)
+    x = rng.randint(0, w - tw + 1)
+    return img[y : y + th, x : x + tw]
+
+
+def to_neg_one_one(img: np.ndarray) -> np.ndarray:
+    x = img.astype(np.float32) / 255.0
+    return x * 2.0 - 1.0
+
+
+class ImageDataset:
+    """Generic image folder (CelebA-HQ etc., ddm/data.py:145-185)."""
+
+    def __init__(
+        self,
+        img_folder: str,
+        image_size=(256, 256),
+        augment_horizontal_flip: bool = False,
+        exts: Optional[Sequence[str]] = None,
+        **kwargs,
+    ):
+        self.paths = list_images(img_folder)
+        if not self.paths:
+            raise FileNotFoundError(f"no images under {img_folder}")
+        self.image_size = tuple(image_size)
+        self.flip = augment_horizontal_flip
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        img = load_image(self.paths[index])
+        img = resize(img, self.image_size)
+        if self.flip and np.random.rand() < 0.5:
+            img = img[:, ::-1].copy()
+        return {"image": to_neg_one_one(img)}
+
+
+class ImageNetDataset(ImageDataset):
+    """Folder + random-crop variant (ddm/data.py:187-240)."""
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        rng = np.random.RandomState(np.random.randint(2**31))
+        img = load_image(self.paths[index])
+        h, w = img.shape[:2]
+        short = min(h, w)
+        scale = max(self.image_size) / short
+        img = resize(img, (round(h * scale), round(w * scale)))
+        img = random_crop(img, self.image_size, rng)
+        if self.flip and np.random.rand() < 0.5:
+            img = img[:, ::-1].copy()
+        return {"image": to_neg_one_one(img)}
+
+
+class LSUNDataset(ImageNetDataset):
+    pass
+
+
+class ImageMaskDataset:
+    """Paired image+mask folders (ddm/data.py:298-337)."""
+
+    def __init__(
+        self,
+        img_folder: str,
+        mask_folder: Optional[str] = None,
+        image_size=(256, 256),
+        augment_horizontal_flip: bool = False,
+        **kwargs,
+    ):
+        self.img_paths = list_images(img_folder)
+        self.mask_paths = list_images(mask_folder) if mask_folder else None
+        self.image_size = tuple(image_size)
+        self.flip = augment_horizontal_flip
+
+    def __len__(self):
+        return len(self.img_paths)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        img = resize(load_image(self.img_paths[index]), self.image_size)
+        out = {}
+        if self.mask_paths:
+            mask = resize(
+                load_image(self.mask_paths[index], "L"), self.image_size, "nearest"
+            )[..., None]
+            if self.flip and np.random.rand() < 0.5:
+                img = img[:, ::-1].copy()
+                mask = mask[:, ::-1].copy()
+            out["cond"] = to_neg_one_one(mask)
+        elif self.flip and np.random.rand() < 0.5:
+            img = img[:, ::-1].copy()
+        out["image"] = to_neg_one_one(img)
+        return out

@@ -1,0 +1,316 @@
+"""Conditioning backbones: 4-scale feature extractors (NHWC flax).
+
+The reference vendors torchvision models modified to return a 4-scale
+feature list (unet/swin_transformer.py:412-425, unet/resnet.py:266-288,
+unet/efficientnet.py:355-370). All live conditional configs use
+`cond_net: swin` (Swin-B); resnet101 is provided for parity, and a light
+conv backbone for tests/benches.
+
+Pretrained torchvision weights need one-time offline conversion (tooling in
+adm_tpu/utils/torch_convert.py); architectures here initialize randomly and
+are trainable unless frozen via fix_bb.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Swin Transformer (Swin-B): embed 128, depths [2,2,18,2], heads [4,8,16,32]
+# ---------------------------------------------------------------------------
+
+
+def _window_partition(x: Array, ws: int) -> Array:
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // ws, ws, w // ws, ws, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
+
+
+def _window_unpartition(windows: Array, ws: int, h: int, w: int) -> Array:
+    b = windows.shape[0] // ((h // ws) * (w // ws))
+    x = windows.reshape(b, h // ws, w // ws, ws, ws, -1)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, -1)
+
+
+def _relative_position_index(ws: int):
+    coords = jnp.stack(
+        jnp.meshgrid(jnp.arange(ws), jnp.arange(ws), indexing="ij")
+    )  # 2, ws, ws
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]  # 2, n, n
+    rel = rel.transpose(1, 2, 0) + jnp.array([ws - 1, ws - 1])
+    return rel[..., 0] * (2 * ws - 1) + rel[..., 1]  # n, n
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    heads: int
+    window_size: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, mask=None) -> Array:
+        # x: (num_windows*b, n, c)
+        bw, n, c = x.shape
+        ws = self.window_size
+        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(bw, n, 3, self.heads, c // self.heads)
+        q, k, v = (
+            qkv[:, :, 0].astype(jnp.float32),
+            qkv[:, :, 1].astype(jnp.float32),
+            qkv[:, :, 2].astype(jnp.float32),
+        )
+        scale = (c // self.heads) ** -0.5
+        att = jnp.einsum("bihd,bjhd->bhij", q * scale, k)
+
+        bias_table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * ws - 1) ** 2, self.heads),
+        )
+        idx = _relative_position_index(ws)
+        bias = bias_table[idx.reshape(-1)].reshape(n, n, self.heads)
+        att = att + bias.transpose(2, 0, 1)[None]
+
+        if mask is not None:
+            nw = mask.shape[0]
+            att = att.reshape(bw // nw, nw, self.heads, n, n) + mask[
+                None, :, None, :, :
+            ]
+            att = att.reshape(bw, self.heads, n, n)
+        att = jax.nn.softmax(att, axis=-1)
+        out = jnp.einsum("bhij,bjhd->bihd", att, v).reshape(bw, n, c)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(
+            out.astype(x.dtype)
+        )
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    heads: int
+    window_size: int = 7
+    shift: int = 0
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, h, w, c = x.shape
+        # window never larger than the feature map; no shift when one window
+        # covers everything (torchvision swin shifted-window rule)
+        ws = min(self.window_size, h, w)
+        shift = self.shift % ws
+        if ws == min(h, w) and ws >= max(h, w):
+            shift = 0
+
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(x.dtype)
+        pad_b = (ws - h % ws) % ws
+        pad_r = (ws - w % ws) % ws
+        y = jnp.pad(y, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        hp, wp = y.shape[1:3]
+
+        mask = None
+        if shift > 0:
+            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+            # attention mask for cross-window leakage after the roll
+            img_mask = jnp.zeros((1, hp, wp, 1))
+            cnt = 0
+            slices = (
+                slice(0, hp - ws), slice(hp - ws, hp - shift), slice(hp - shift, hp)
+            )
+            wslices = (
+                slice(0, wp - ws), slice(wp - ws, wp - shift), slice(wp - shift, wp)
+            )
+            for hs in slices:
+                for wss in wslices:
+                    img_mask = img_mask.at[:, hs, wss, :].set(cnt)
+                    cnt += 1
+            mw = _window_partition(img_mask, ws).reshape(-1, ws * ws)
+            mask = jnp.where(mw[:, None, :] != mw[:, :, None], -100.0, 0.0)
+
+        windows = _window_partition(y, ws)
+        att = WindowAttention(
+            c, self.heads, ws, dtype=self.dtype, name="attn"
+        )(windows, mask)
+        y = _window_unpartition(att, ws, hp, wp)
+        if shift > 0:
+            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        y = y[:, :h, :w, :]
+        x = x + y
+
+        z = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(x.dtype)
+        z = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(z)
+        z = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(jax.nn.gelu(z))
+        return x + z
+
+
+class PatchMerging(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, h, w, c = x.shape
+        x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+        x0 = x[:, 0::2, 0::2]
+        x1 = x[:, 1::2, 0::2]
+        x2 = x[:, 0::2, 1::2]
+        x3 = x[:, 1::2, 1::2]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+        return nn.Dense(2 * c, use_bias=False, dtype=self.dtype, name="reduction")(x)
+
+
+class SwinBackbone(nn.Module):
+    """Swin returning 4 stage features (unet/swin_transformer.py:412-425).
+
+    Defaults are Swin-B; channels (embed*1,2,4,8) at strides (4,8,16,32).
+    """
+
+    embed_dim: int = 128
+    depths: Sequence[int] = (2, 2, 18, 2)
+    heads: Sequence[int] = (4, 8, 16, 32)
+    window_size: int = 7
+    in_channels: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Tuple[Array, ...]:
+        x = nn.Conv(
+            self.embed_dim, (4, 4), strides=(4, 4), dtype=self.dtype, name="patch_embed"
+        )(x.astype(self.dtype))
+        x = nn.LayerNorm(dtype=jnp.float32, name="patch_norm")(x).astype(self.dtype)
+        feats = []
+        for stage, (depth, heads) in enumerate(zip(self.depths, self.heads)):
+            for blk in range(depth):
+                x = SwinBlock(
+                    dim=x.shape[-1],
+                    heads=heads,
+                    window_size=self.window_size,
+                    shift=0 if blk % 2 == 0 else self.window_size // 2,
+                    dtype=self.dtype,
+                    name=f"stage{stage}_block{blk}",
+                )(x)
+            feats.append(x)
+            if stage < len(self.depths) - 1:
+                x = PatchMerging(dtype=self.dtype, name=f"merge{stage}")(x)
+        return tuple(feats)
+
+
+# ---------------------------------------------------------------------------
+# ResNet-101 (bottleneck) 4-scale backbone (unet/resnet.py:166-290)
+# ---------------------------------------------------------------------------
+
+
+class _GNorm(nn.Module):
+    """GroupNorm stand-in for BatchNorm (stateless, TPU-friendly); the
+    reference uses BatchNorm2d — weight conversion maps BN affine params."""
+
+    @nn.compact
+    def __call__(self, x):
+        g = 32
+        while x.shape[-1] % g:
+            g //= 2
+        return nn.GroupNorm(num_groups=g, dtype=jnp.float32)(x).astype(x.dtype)
+
+
+class Bottleneck(nn.Module):
+    features: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        out = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        out = jax.nn.relu(_GNorm()(out))
+        out = nn.Conv(
+            self.features, (3, 3), strides=(self.stride, self.stride), padding=1,
+            use_bias=False, dtype=self.dtype,
+        )(out)
+        out = jax.nn.relu(_GNorm()(out))
+        out = nn.Conv(self.features * 4, (1, 1), use_bias=False, dtype=self.dtype)(out)
+        out = _GNorm()(out)
+        if x.shape[-1] != self.features * 4 or self.stride != 1:
+            x = nn.Conv(
+                self.features * 4, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, dtype=self.dtype,
+            )(x)
+            x = _GNorm()(x)
+        return jax.nn.relu(out + x)
+
+
+class ResNetBackbone(nn.Module):
+    """ResNet-101 layout: blocks (3,4,23,3); features at 256/512/1024/2048."""
+
+    blocks: Sequence[int] = (3, 4, 23, 3)
+    in_channels: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Tuple[Array, ...]:
+        x = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=3, use_bias=False, dtype=self.dtype
+        )(x.astype(self.dtype))
+        x = jax.nn.relu(_GNorm()(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        feats = []
+        width = 64
+        for stage, n in enumerate(self.blocks):
+            for blk in range(n):
+                stride = 2 if (stage > 0 and blk == 0) else 1
+                x = Bottleneck(width, stride=stride, dtype=self.dtype)(x)
+            feats.append(x)
+            width *= 2
+        return tuple(feats)
+
+
+# ---------------------------------------------------------------------------
+# light conv backbone (tests / benches)
+# ---------------------------------------------------------------------------
+
+
+class ConvBackbone(nn.Module):
+    """Small strided-conv pyramid with the same 4-scale contract."""
+
+    base: int = 32
+    in_channels: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Tuple[Array, ...]:
+        x = x.astype(self.dtype)
+        feats = []
+        c = self.base
+        x = nn.Conv(c, (4, 4), strides=(4, 4), dtype=self.dtype)(x)
+        for i in range(4):
+            x = jax.nn.silu(
+                nn.Conv(c, (3, 3), padding=1, dtype=self.dtype, name=f"conv{i}")(x)
+            )
+            feats.append(x)
+            if i < 3:
+                c *= 2
+                x = nn.Conv(
+                    c, (2, 2), strides=(2, 2), dtype=self.dtype, name=f"down{i}"
+                )(x)
+        return tuple(feats)
+
+
+BACKBONES = {
+    "swin": (SwinBackbone, 128),
+    "resnet": (ResNetBackbone, 256),
+    "conv": (ConvBackbone, 32),
+}
+
+
+def backbone_feature_dims(name: str) -> Tuple[int, ...]:
+    if name == "effnet":
+        return (48, 80, 224, 640)
+    _, f = BACKBONES[name]
+    return (f, f * 2, f * 4, f * 8)

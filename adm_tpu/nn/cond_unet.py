@@ -1,0 +1,233 @@
+"""Mask/image-conditioned UNet with RelationNet fusion (NHWC flax).
+
+Capability match of reference unet/cond_unet_sd.py:591-883 (single-decoder)
+and unet/cond_unet.py:592-918 (two-decoder), folded into one module:
+
+  * backbone (swin/resnet/conv) extracts 4-scale cond features; 1x1
+    `projects` align channel dims (cond_unet_sd.py:671-679)
+  * RelationNet windowed cross-attention fuses cond into the UNet at every
+    scale, down and up (cond_unet_sd.py:728-756)
+  * lucidrains ResnetBlocks + LinearAttention; Gaussian-Fourier time embed
+  * bottleneck decoupling into 1 or 2 decoders; 'cond' preconditioning
+    (c_skip1=t-1, c_skip2=sqrt(t), c_out1=t/sqrt(t+1),
+     c_out2=sqrt(1-t)/sqrt(1+t), c_in=1, c_noise=log t)
+    with the single-decoder analytic eps branch x2=(x-(t-1)x1)/sqrt(t)
+    (cond_unet_sd.py:808-816,878-883)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from adm_tpu.nn.backbones import BACKBONES
+from adm_tpu.nn.cond_blocks import (
+    Attention,
+    GaussianFourierProjection,
+    LinearAttention,
+    PreNormResidual,
+    RelationNet,
+    ResnetBlock,
+    SpatialAttGN,
+    _bilinear_resize,
+)
+
+Array = jax.Array
+
+
+class CondUnet(nn.Module):
+    dim: int = 64
+    init_dim: Optional[int] = None
+    out_dim: Optional[int] = None
+    dim_mults: Sequence[int] = (1, 2, 4, 8)
+    cond_in_dim: int = 1
+    channels: int = 1
+    out_mul: int = 1
+    resnet_block_groups: int = 8
+    window_sizes1: Sequence[Sequence[int]] = ((16, 16), (8, 8), (4, 4), (2, 2))
+    window_sizes2: Sequence[Sequence[int]] = ((16, 16), (8, 8), (4, 4), (2, 2))
+    fourier_scale: float = 16.0
+    cond_net: str = "swin"
+    precondition: bool = True
+    n_decoders: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        time: Array,
+        cond: Array,
+        *,
+        deterministic: bool = True,
+    ) -> Tuple[Array, Array]:
+        del deterministic  # dropout-free family (reference uses dropout=0.1
+        # only inside BasicAttentionLayer MLP; omitted here)
+        x = x.astype(jnp.float32)
+        t = jnp.asarray(time, jnp.float32)
+        if t.ndim == 0:
+            t = jnp.full((x.shape[0],), t)
+        tb = t.reshape(-1, 1, 1, 1)
+
+        c_skip1 = tb - 1
+        c_out1 = tb / jnp.sqrt(tb + 1)
+        c_skip2 = jnp.sqrt(tb)
+        c_out2 = jnp.sqrt(1 - tb) / jnp.sqrt(1 + tb)
+        c_noise = jnp.log(t)
+
+        x_clone = x
+        init_dim = self.init_dim or self.dim
+        dims = [init_dim] + [self.dim * m for m in self.dim_mults]
+        in_out = list(zip(dims[:-1], dims[1:]))
+        n_levels = len(in_out)
+
+        # ---- cond backbone + projections --------------------------------
+        bb_cls, _ = BACKBONES[self.cond_net]
+        feats = bb_cls(dtype=self.dtype, name="init_conv_mask")(cond)
+        hm = [
+            nn.Conv(dims[i], (1, 1), dtype=self.dtype, name=f"projects_{i}")(feats[i])
+            for i in range(n_levels)
+        ]
+
+        # ---- stem --------------------------------------------------------
+        h0 = _bilinear_resize(feats[0].astype(jnp.float32), x.shape[1:3]).astype(
+            self.dtype
+        )
+        x = jnp.concatenate([x.astype(self.dtype), h0], axis=-1)
+        x = nn.Conv(init_dim, (7, 7), padding=3, dtype=self.dtype, name="init_conv")(x)
+        g = min(init_dim // 4, 8)
+        x = nn.GroupNorm(num_groups=g, dtype=jnp.float32, name="init_norm")(x).astype(
+            self.dtype
+        )
+        r = x
+
+        # ---- time embedding ---------------------------------------------
+        temb = GaussianFourierProjection(
+            self.dim // 2, scale=self.fourier_scale, name="time_fourier"
+        )(c_noise)
+        time_dim = self.dim * 4
+        temb = nn.Dense(time_dim, dtype=self.dtype, name="time_mlp1")(
+            temb.astype(self.dtype)
+        )
+        temb = nn.Dense(time_dim, dtype=self.dtype, name="time_mlp2")(
+            jax.nn.gelu(temb)
+        )
+
+        # ---- encoder ------------------------------------------------------
+        skips = []
+        for ind, (dim_in, dim_out) in enumerate(in_out):
+            is_last = ind >= n_levels - 1
+            x = ResnetBlock(
+                dim_in, self.resnet_block_groups, dtype=self.dtype,
+                name=f"down_{ind}_block1",
+            )(x, temb)
+            skips.append(x)
+            x = RelationNet(
+                embed_dim=dims[ind],
+                nhead=8,
+                layers=1,
+                ffn_dim=dims[ind] * 2,
+                window_size1=tuple(self.window_sizes1[ind]),
+                window_size2=tuple(self.window_sizes2[ind]),
+                dtype=self.dtype,
+                name=f"relation_down_{ind}",
+            )(hm[ind], x)
+            x = ResnetBlock(
+                dim_in, self.resnet_block_groups, dtype=self.dtype,
+                name=f"down_{ind}_block2",
+            )(x, temb)
+            x = PreNormResidual(
+                LinearAttention(dtype=self.dtype), name=f"down_{ind}_attn"
+            )(x)
+            skips.append(x)
+            if not is_last:
+                x = nn.Conv(
+                    dim_out, (4, 4), strides=(2, 2), padding=1, dtype=self.dtype,
+                    name=f"down_{ind}_downsample",
+                )(x)
+            else:
+                x = nn.Conv(
+                    dim_out, (3, 3), padding=1, dtype=self.dtype,
+                    name=f"down_{ind}_downsample",
+                )(x)
+
+        # ---- middle -------------------------------------------------------
+        mid_dim = dims[-1]
+        x = ResnetBlock(
+            mid_dim, self.resnet_block_groups, dtype=self.dtype, name="mid_block1"
+        )(x, temb)
+        x = PreNormResidual(Attention(dtype=self.dtype), name="mid_attn")(x)
+        x = ResnetBlock(
+            mid_dim, self.resnet_block_groups, dtype=self.dtype, name="mid_block2"
+        )(x, temb)
+
+        # ---- decoder(s) ----------------------------------------------------
+        dims_rev = dims[::-1]
+        outs = []
+        for d in range(self.n_decoders):
+            suffix = "" if d == 0 else "2"
+            hd = x + SpatialAttGN(
+                mid_dim, dtype=self.dtype, name=f"decouple{d + 1}"
+            )(x)
+            dec_skips = list(skips)
+            dec_hm = list(hm)
+            for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
+                is_last = ind == n_levels - 1
+                hd = jnp.concatenate([hd, dec_skips.pop()], axis=-1)
+                hd = ResnetBlock(
+                    dim_out, self.resnet_block_groups, dtype=self.dtype,
+                    name=f"up{suffix}_{ind}_block1",
+                )(hd, temb)
+                hd = RelationNet(
+                    embed_dim=dims_rev[ind],
+                    nhead=8,
+                    layers=1,
+                    ffn_dim=dims_rev[ind] * 2,
+                    window_size1=tuple(self.window_sizes1[::-1][ind]),
+                    window_size2=tuple(self.window_sizes2[::-1][ind]),
+                    dtype=self.dtype,
+                    name=f"relation_up{suffix}_{ind}",
+                )(dec_hm.pop(), hd)
+                hd = jnp.concatenate([hd, dec_skips.pop()], axis=-1)
+                hd = ResnetBlock(
+                    dim_out, self.resnet_block_groups, dtype=self.dtype,
+                    name=f"up{suffix}_{ind}_block2",
+                )(hd, temb)
+                hd = PreNormResidual(
+                    LinearAttention(dtype=self.dtype), name=f"up{suffix}_{ind}_attn"
+                )(hd)
+                if not is_last:
+                    hd = jnp.repeat(jnp.repeat(hd, 2, axis=1), 2, axis=2)
+                hd = nn.Conv(
+                    dim_in, (3, 3), padding=1, dtype=self.dtype,
+                    name=f"up{suffix}_{ind}_upsample",
+                )(hd)
+            hd = jnp.concatenate([hd, r], axis=-1)
+            hd = ResnetBlock(
+                self.dim, self.resnet_block_groups, dtype=self.dtype,
+                name=f"final_res_block{suffix}",
+            )(hd, temb)
+            out_dim = self.out_dim or self.channels
+            mul = self.out_mul if d == 0 else 1
+            hd = nn.Conv(
+                out_dim * mul, (1, 1), dtype=self.dtype, name=f"final_conv{suffix}"
+            )(hd)
+            outs.append(hd.astype(jnp.float32))
+
+        x1 = outs[0]
+        if self.precondition:
+            if self.out_mul != 1:
+                xs = jnp.concatenate([x_clone] * self.out_mul, axis=-1)
+                x1 = c_skip1 * xs + c_out1 * x1
+            else:
+                x1 = c_skip1 * x_clone + c_out1 * x1
+        if self.n_decoders == 2:
+            x2 = outs[1]
+            if self.precondition:
+                x2 = c_skip2 * x_clone + c_out2 * x2
+        else:
+            x2 = (x_clone - (tb - 1) * x1) / jnp.sqrt(tb)
+        return x1, x2

@@ -62,9 +62,49 @@ _SONG_KWARG_KEYS = (
 )
 
 
+_COND_UNETS = {
+    "unet.cond_unet.Unet": dict(n_decoders=2),
+    "unet.cond_unet_sd.Unet": dict(n_decoders=1),
+    "unet.text_cond_unet.Unet": dict(n_decoders=1),
+}
+
+
+def build_cond_unet(unet_cfg: Dict[str, Any], dtype=jnp.float32):
+    from adm_tpu.nn.cond_unet import CondUnet
+
+    cfg = dict(unet_cfg)
+    class_name = cfg.pop("class_name")
+    reg = _COND_UNETS[class_name]
+    keys = (
+        "dim",
+        "init_dim",
+        "out_dim",
+        "dim_mults",
+        "cond_in_dim",
+        "channels",
+        "out_mul",
+        "resnet_block_groups",
+        "window_sizes1",
+        "window_sizes2",
+        "fourier_scale",
+        "cond_net",
+        "precondition",
+    )
+    kwargs = {}
+    for k in keys:
+        if k in cfg and cfg[k] is not None:
+            v = cfg[k]
+            if isinstance(v, list):
+                v = tuple(tuple(e) if isinstance(e, list) else e for e in v)
+            kwargs[k] = v
+    return CondUnet(dtype=dtype, **kwargs, **reg)
+
+
 def build_unet(unet_cfg: Dict[str, Any], dtype=jnp.float32) -> EDMPrecond:
     cfg = dict(unet_cfg)
     class_name = cfg.pop("class_name")
+    if class_name in _COND_UNETS:
+        return build_cond_unet(unet_cfg, dtype=dtype)
     if class_name not in _UNET_VARIANTS:
         raise KeyError(f"unknown unet class_name '{class_name}'")
     reg = dict(_UNET_VARIANTS[class_name])
@@ -128,11 +168,25 @@ def build_model(
     if net is None:
         net = build_unet(cfg["unet"], dtype=dtype)
 
+    cond_shape = None
+    if cfg["unet"].get("class_name") in _COND_UNETS:
+        h, w = cfg.get("image_size", (32, 32))
+        cond_shape = (h, w, cfg["unet"].get("cond_in_dim", 1))
+
+    if augment_fn is None and cfg.get("use_augment", False):
+        from adm_tpu.core.augment import AugmentPipe
+
+        # reference: p=0.15 for const, p=0.12 for const2
+        # (ddm/ddm_const.py:179-181, ddm/ddm_const_2.py:112-113)
+        p = 0.15 if process_name == "const" else 0.12
+        augment_fn = AugmentPipe(p=p)
+
     common = dict(
+        cond_shape=cond_shape,
         net=net,
         process_name=process_name,
         image_size=tuple(cfg.get("image_size", (32, 32))),
-        channels=cfg["unet"].get("img_channels", 3),
+        channels=cfg["unet"].get("img_channels", cfg["unet"].get("channels", 3)),
         sampling_timesteps=cfg.get("sampling_timesteps", 10),
         eps=float(cfg.get("eps", 1e-4)),
         sigma_min=float(cfg.get("sigma_min", 1e-2)),
@@ -171,10 +225,6 @@ def build_dataset(data_cfg: Dict[str, Any]):
     cfg.pop("batch_size", None)
     cfg.pop("num_workers", None)
     name = class_name.rsplit(".", 1)[-1]
-    mapping = {
-        "CIFAR10": data_mod.CIFAR10,
-        "SyntheticImages": data_mod.SyntheticImages,
-    }
-    if name not in mapping:
+    if not hasattr(data_mod, name):
         raise KeyError(f"unknown dataset class_name '{class_name}'")
-    return mapping[name](**cfg)
+    return getattr(data_mod, name)(**cfg)

@@ -65,27 +65,29 @@ def main():
     batch = shard_batch(mesh, batch)
     key = jax.random.PRNGKey(1)
 
+    # NOTE: block_until_ready is unreliable over the tunneled axon backend
+    # (returns before execution completes); a scalar host transfer is the
+    # only trustworthy completion barrier. The step chain is sequentially
+    # dependent (state threads through), so one final transfer fences all.
     # warmup/compile
     state, m = jitted(state, batch, key)
-    jax.block_until_ready(m["loss"])
+    _ = float(m["loss"])
     t0 = time.perf_counter()
     for _ in range(TRAIN_STEPS):
         state, m = jitted(state, batch, key)
-    jax.block_until_ready(m["loss"])
+    _ = float(m["loss"])
     dt = time.perf_counter() - t0
     train_ips_chip = BATCH * n_chips * TRAIN_STEPS / dt / n_chips
 
-    # 10-step sampling
+    # 10-step sampling (sum fences each rep with a scalar transfer)
     sample = jax.jit(
         lambda p, k: model.sample(p, k, batch_size=SAMPLE_BATCH, unnormalize=True)
     )
-    imgs = sample(state.ema_params, key)
-    jax.block_until_ready(imgs)
+    _ = float(jnp.sum(sample(state.ema_params, key)))
     t0 = time.perf_counter()
     reps = 3
     for i in range(reps):
-        imgs = sample(state.ema_params, jax.random.PRNGKey(i))
-    jax.block_until_ready(imgs)
+        _ = float(jnp.sum(sample(state.ema_params, jax.random.PRNGKey(i))))
     sample_ips = SAMPLE_BATCH * reps / (time.perf_counter() - t0)
 
     result = {

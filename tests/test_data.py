@@ -1,0 +1,115 @@
+"""Data layer: batch contracts of every dataset family (on generated PNGs)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from adm_tpu.data import (
+    CIFAR10,
+    DUTSDataset,
+    ImageDataset,
+    InpaintDataset,
+    SRDataset,
+    batch_iterator,
+)
+from adm_tpu.data.paired import random_brush_mask, random_rect_mask
+
+
+@pytest.fixture(scope="module")
+def img_dir(tmp_path_factory):
+    from PIL import Image
+
+    d = tmp_path_factory.mktemp("imgs")
+    rng = np.random.RandomState(0)
+    for i in range(6):
+        arr = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"img_{i:03d}.png")
+    m = tmp_path_factory.mktemp("masks")
+    for i in range(6):
+        arr = (rng.rand(64, 64) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(m / f"mask_{i:03d}.png")
+    return str(d), str(m)
+
+
+@pytest.fixture(scope="module")
+def cifar_dir(tmp_path_factory):
+    import pickle
+
+    d = tmp_path_factory.mktemp("cifar") / "cifar-10-batches-py"
+    d.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(1, 6):
+        data = rng.randint(0, 256, (20, 3 * 32 * 32), np.uint8)
+        entry = {"data": data, "labels": rng.randint(0, 10, 20).tolist()}
+        with open(d / f"data_batch_{i}", "wb") as f:
+            pickle.dump(entry, f)
+    return str(d.parent)
+
+
+def test_cifar10_contract(cifar_dir):
+    ds = CIFAR10(cifar_dir, with_class=True)
+    assert len(ds) == 100
+    item = ds[0]
+    assert item["image"].shape == (32, 32, 3)
+    assert item["image"].min() >= -1 and item["image"].max() <= 1
+    assert "class" in item
+
+
+def test_image_dataset(img_dir):
+    d, _ = img_dir
+    ds = ImageDataset(d, image_size=(32, 32))
+    item = ds[0]
+    assert item["image"].shape == (32, 32, 3)
+    assert -1 <= item["image"].min() and item["image"].max() <= 1
+
+
+def test_sr_dataset(img_dir):
+    d, _ = img_dir
+    ds = SRDataset(d, image_size=(32, 32), scale=4)
+    item = ds[0]
+    assert item["image"].shape == (32, 32, 3)
+    assert item["cond"].shape == (32, 32, 3)  # upsampled back to HR size
+    # cond must be blurrier than image (downsample round trip loses detail)
+    assert not np.allclose(item["cond"], item["image"])
+
+
+def test_duts_dataset(img_dir):
+    d, m = img_dir
+    ds = DUTSDataset(img_folder=d, gt_folder=m, image_size=(32, 32))
+    item = ds[0]
+    assert item["image"].shape == (32, 32, 1)  # gt saliency mask, 1ch
+    assert item["cond"].shape == (32, 32, 3)  # rgb
+    assert "img_name" in item and "ori_size" in item
+
+
+def test_inpaint_dataset(img_dir):
+    d, _ = img_dir
+    ds = InpaintDataset(d, image_size=(64, 64))
+    item = ds[0]
+    assert set(item) == {"image", "cond", "ori_mask", "img_name"}
+    mask = item["ori_mask"]
+    assert mask.shape == (64, 64, 1)
+    assert ((mask == 0) | (mask == 1)).all()
+    assert (mask == 0).any(), "mask must contain holes"
+    # cond is the masked image: zero inside holes
+    np.testing.assert_allclose(item["cond"] * (1 - mask), 0.0, atol=1e-6)
+
+
+def test_mask_generators():
+    rng = np.random.RandomState(3)
+    r = random_rect_mask((64, 64), rng)
+    b = random_brush_mask((64, 64), rng)
+    for m in (r, b):
+        assert m.shape == (64, 64)
+        assert 0 < m.mean() < 1  # some holes, some kept
+
+
+def test_batch_iterator_sharding(img_dir):
+    d, _ = img_dir
+    ds = ImageDataset(d, image_size=(16, 16))
+    it0 = batch_iterator(ds, 4, process_index=0, process_count=2, shuffle=False)
+    it1 = batch_iterator(ds, 4, process_index=1, process_count=2, shuffle=False)
+    b0, b1 = next(it0), next(it1)
+    assert b0["image"].shape == (2, 16, 16, 3)  # local batch = 4/2
+    assert not np.allclose(b0["image"], b1["image"])  # disjoint shards
