@@ -1,0 +1,139 @@
+"""One-way torch -> JAX weight conversion for reference checkpoints.
+
+Maps the reference's state_dict naming (unet/uncond_unet.py EDMPrecond /
+DhariwalUNet, ddm/encoder_decoder.py AutoencoderKL) onto adm_tpu's flax
+param trees, enabling (a) loading released DDM checkpoints and (b) seed
+parity tests that run the actual torch reference side-by-side.
+
+Conventions:
+  torch Linear weight (out,in)        -> jax kernel (in,out)
+  torch Conv2d weight (O,I,kh,kw)     -> jax kernel (kh,kw,I,O)
+  torch GroupNorm weight/bias         -> jax scale/bias
+  qkv conv channels: the reference reshapes (B,3C,HW) ->
+  (B*heads, C/heads, 3, HW), i.e. channel index = (head*(C/h) + ch)*3 + q;
+  ours is head-major then qkv then ch — permuted here.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def _t_linear(w):
+    return np.ascontiguousarray(np.asarray(w).T)
+
+
+def _t_conv(w):
+    return np.ascontiguousarray(np.asarray(w).transpose(2, 3, 1, 0))
+
+
+def _qkv_permutation(c: int, heads: int) -> np.ndarray:
+    """Output-channel permutation torch->ours for the fused qkv conv."""
+    d = c // heads
+    perm = np.zeros(3 * c, np.int64)
+    for head in range(heads):
+        for q in range(3):
+            for ch in range(d):
+                ours = (head * 3 + q) * d + ch
+                theirs = (head * d + ch) * 3 + q
+                perm[ours] = theirs
+    return perm
+
+
+def _convert_unet_block(sd: Dict, prefix: str, heads: int = 0) -> Dict:
+    out = {
+        "norm0": {"scale": np.asarray(sd[f"{prefix}.norm0.weight"]),
+                  "bias": np.asarray(sd[f"{prefix}.norm0.bias"])},
+        "conv0": {"kernel": _t_conv(sd[f"{prefix}.conv0.weight"]),
+                  "bias": np.asarray(sd[f"{prefix}.conv0.bias"])},
+        "affine": {"kernel": _t_linear(sd[f"{prefix}.affine.weight"]),
+                   "bias": np.asarray(sd[f"{prefix}.affine.bias"])},
+        "norm1": {"scale": np.asarray(sd[f"{prefix}.norm1.weight"]),
+                  "bias": np.asarray(sd[f"{prefix}.norm1.bias"])},
+        "conv1": {"kernel": _t_conv(sd[f"{prefix}.conv1.weight"]),
+                  "bias": np.asarray(sd[f"{prefix}.conv1.bias"])},
+    }
+    if f"{prefix}.skip.weight" in sd:
+        out["skip"] = {"kernel": _t_conv(sd[f"{prefix}.skip.weight"]),
+                       "bias": np.asarray(sd[f"{prefix}.skip.bias"])}
+    if f"{prefix}.qkv.weight" in sd:
+        qkv_w = _t_conv(sd[f"{prefix}.qkv.weight"])  # (1,1,C,3C)
+        qkv_b = np.asarray(sd[f"{prefix}.qkv.bias"])
+        c = qkv_w.shape[2]
+        h = heads if heads else max(c // 64, 1)
+        perm = _qkv_permutation(c, h)
+        out["norm2"] = {"scale": np.asarray(sd[f"{prefix}.norm2.weight"]),
+                        "bias": np.asarray(sd[f"{prefix}.norm2.bias"])}
+        out["qkv"] = {"kernel": qkv_w[..., perm], "bias": qkv_b[perm]}
+        out["proj"] = {"kernel": _t_conv(sd[f"{prefix}.proj.weight"]),
+                       "bias": np.asarray(sd[f"{prefix}.proj.bias"])}
+    return out
+
+
+def _convert_spatial_att(sd: Dict, prefix: str) -> Dict:
+    return {
+        name: {"kernel": _t_conv(sd[f"{prefix}.{name}.weight"]),
+               "bias": np.asarray(sd[f"{prefix}.{name}.bias"])}
+        for name in ("map", "q_conv", "k_conv")
+    }
+
+
+def convert_dhariwal_edm(sd: Dict, channels_per_head: int = 64) -> Dict:
+    """Convert a reference EDMPrecond(DhariwalUNet) state_dict (possibly
+    torch tensors) to the adm_tpu EDMPrecond param tree {'params': ...}."""
+    sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+          for k, v in sd.items()}
+    model: Dict = {}
+
+    # mapping layers
+    if "model.map_augment.weight" in sd:
+        model["map_augment"] = {"kernel": _t_linear(sd["model.map_augment.weight"])}
+    model["map_layer0"] = {"kernel": _t_linear(sd["model.map_layer0.weight"]),
+                           "bias": np.asarray(sd["model.map_layer0.bias"])}
+    model["map_layer1"] = {"kernel": _t_linear(sd["model.map_layer1.weight"]),
+                           "bias": np.asarray(sd["model.map_layer1.bias"])}
+    if "model.map_label.weight" in sd:
+        model["map_label"] = {"kernel": _t_linear(sd["model.map_label.weight"])}
+
+    # encoder / decoders / decouple / out heads
+    keys = list(sd.keys())
+    for k in keys:
+        parts = k.split(".")
+        if len(parts) < 3 or parts[0] != "model":
+            continue
+        section = parts[1]
+        if section in ("enc", "dec", "dec2"):
+            block_name = parts[2]  # e.g. '32x32_block0'
+            res = block_name.split("x")[0]
+            rest = block_name.split("_", 1)[1]
+            prefix_map = {"enc": "enc", "dec": "dec", "dec2": "dec2"}
+            ours = f"{prefix_map[section]}_{res}_{rest}"
+            if ours in model:
+                continue
+            tprefix = f"model.{section}.{block_name}"
+            if rest == "conv":
+                model[ours] = {"kernel": _t_conv(sd[f"{tprefix}.weight"]),
+                               "bias": np.asarray(sd[f"{tprefix}.bias"])}
+            else:
+                model[ours] = _convert_unet_block(sd, tprefix)
+    for d in ("1", "2"):
+        if f"model.decouple{d}.0.weight" in sd:
+            model[f"decouple{d}"] = {
+                "conv": {"kernel": _t_conv(sd[f"model.decouple{d}.0.weight"]),
+                         "bias": np.asarray(sd[f"model.decouple{d}.0.bias"])},
+                "att": _convert_spatial_att(sd, f"model.decouple{d}.1"),
+            }
+    for suffix, t_suffix in (("", ""), ("2", "2")):
+        nk = f"model.out_norm{t_suffix}.weight"
+        if nk in sd:
+            model[f"out_norm{suffix}"] = {
+                "scale": np.asarray(sd[nk]),
+                "bias": np.asarray(sd[f"model.out_norm{t_suffix}.bias"]),
+            }
+            model[f"out_conv{suffix}"] = {
+                "kernel": _t_conv(sd[f"model.out_conv{t_suffix}.weight"]),
+                "bias": np.asarray(sd[f"model.out_conv{t_suffix}.bias"]),
+            }
+    return {"params": {"model": model}}
