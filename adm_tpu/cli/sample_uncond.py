@@ -30,6 +30,10 @@ def parse_args():
     p.add_argument("--cfg", required=True)
     p.add_argument("--milestone", type=int, default=None)
     p.add_argument("--sample-num", type=int, default=None)
+    p.add_argument(
+        "--rk45", action="store_true",
+        help="use the adaptive probability-flow ODE sampler (on-device RK45)",
+    )
     return p.parse_args()
 
 
@@ -62,9 +66,23 @@ def main():
     weights = state.ema_params if use_ema else state.params
     log.info("restored %s (step %d, ema=%s)", ckpt_path, int(state.step), use_ema)
 
-    sample = jax.jit(
-        lambda p, k: model.sample(p, k, batch_size=batch_size, unnormalize=True)
-    )
+    if args.rk45:
+        from adm_tpu.core.ode import rk45_sample
+
+        h, w = model.image_size
+
+        def _rk45(p, k):
+            fn = model._model_fn(p)
+            img, nfe = rk45_sample(
+                model.process, fn, (batch_size, h, w, model.channels), k
+            )
+            return img
+
+        sample = jax.jit(_rk45)
+    else:
+        sample = jax.jit(
+            lambda p, k: model.sample(p, k, batch_size=batch_size, unnormalize=True)
+        )
     batch_num = math.ceil(sample_num / batch_size)
     written = 0
     for idx in range(batch_num):
