@@ -69,8 +69,25 @@ def run_training(args, *, conditional: bool, latent: bool):
         fs, fs_params = load_first_stage(cfg)
 
     model = build_model(model_cfg, first_stage=fs)
-    dataset = build_dataset(data_cfg)
-    data_iter = batch_iterator(dataset, data_cfg["batch_size"])
+    if data_cfg.get("data_type") == "web":
+        # LAION-style tar shards (reference train_cond_ldm.py:58-63)
+        from adm_tpu.data.webdata import WebdatasetReader, web_batch_iterator
+
+        reader = WebdatasetReader(
+            data_cfg["urls"],
+            image_size=tuple(data_cfg.get("image_size", model.image_size)),
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+        )
+        data_iter = web_batch_iterator(reader, data_cfg["batch_size"])
+    else:
+        dataset = build_dataset(data_cfg)
+        data_iter = batch_iterator(
+            dataset,
+            data_cfg["batch_size"],
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+        )
 
     first_batch = next(data_iter)
     if latent and model.scale_by_std and not model.scale_by_softsign:

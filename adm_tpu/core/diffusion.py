@@ -63,8 +63,10 @@ class DDPM:
     # hooks (host-constructed, jit-traced):
     perceptual_fn: Optional[PerceptualFn] = None
     augment_fn: Optional[Callable] = None  # (x, key) -> (x_aug, aug_labels)
-    # conditional models: (H, W, C) of the cond input, None = unconditional
-    cond_shape: Optional[Tuple[int, int, int]] = None
+    # conditional models: shape of one cond input (e.g. (H, W, C) for
+    # image/mask cond, (ctx_len,) for text tokens); None = unconditional
+    cond_shape: Optional[Tuple[int, ...]] = None
+    cond_dtype: str = "float32"
 
     @property
     def process(self):
@@ -83,7 +85,9 @@ class DDPM:
         # one compiled init program — hundreds of eager per-param dispatches
         # are pathologically slow on the tunneled single-chip setup
         if self.cond_shape is not None:
-            cond = jnp.zeros((batch_size, *self.cond_shape), jnp.float32)
+            cond = jnp.zeros(
+                (batch_size, *self.cond_shape), jnp.dtype(self.cond_dtype)
+            )
             return jax.jit(self.net.init)(rng, x, t, cond)
         return jax.jit(self.net.init)(rng, x, t)
 

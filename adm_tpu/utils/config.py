@@ -68,6 +68,32 @@ _COND_UNETS = {
     "unet.text_cond_unet.Unet": dict(n_decoders=1),
 }
 
+_T2I_UNETS = {"unet.cond_unet_t2i.Unet"}
+
+
+def build_t2i_unet(unet_cfg, dtype=jnp.float32):
+    from adm_tpu.nn.t2i_unet import Text2ImgUnet
+
+    cfg = dict(unet_cfg)
+    cfg.pop("class_name")
+    keys = ("dim", "init_dim", "out_dim", "dim_mults", "channels", "out_mul",
+            "resnet_block_groups", "window_sizes1", "fourier_scale",
+            "precondition", "text_dim")
+    kwargs = {}
+    for k in keys:
+        if k in cfg and cfg[k] is not None:
+            v = cfg[k]
+            if isinstance(v, list):
+                v = tuple(tuple(e) if isinstance(e, list) else e for e in v)
+            kwargs[k] = v
+    # small default text tower when no converted CLIP weights are supplied
+    kwargs.setdefault(
+        "text_encoder_cfg",
+        dict(vocab_size=512, layers=cfg.get("text_layers", 4), width=256,
+             heads=4),
+    )
+    return Text2ImgUnet(dtype=dtype, **kwargs)
+
 
 def build_cond_unet(unet_cfg: Dict[str, Any], dtype=jnp.float32):
     from adm_tpu.nn.cond_unet import CondUnet
@@ -103,6 +129,8 @@ def build_cond_unet(unet_cfg: Dict[str, Any], dtype=jnp.float32):
 def build_unet(unet_cfg: Dict[str, Any], dtype=jnp.float32) -> EDMPrecond:
     cfg = dict(unet_cfg)
     class_name = cfg.pop("class_name")
+    if class_name in _T2I_UNETS:
+        return build_t2i_unet(unet_cfg, dtype=dtype)
     if class_name in _COND_UNETS:
         return build_cond_unet(unet_cfg, dtype=dtype)
     if class_name not in _UNET_VARIANTS:
@@ -169,9 +197,13 @@ def build_model(
         net = build_unet(cfg["unet"], dtype=dtype)
 
     cond_shape = None
+    cond_dtype = "float32"
     if cfg["unet"].get("class_name") in _COND_UNETS:
         h, w = cfg.get("image_size", (32, 32))
         cond_shape = (h, w, cfg["unet"].get("cond_in_dim", 1))
+    elif cfg["unet"].get("class_name") in _T2I_UNETS:
+        cond_shape = (cfg["unet"].get("context_length", 77),)
+        cond_dtype = "int32"
 
     if augment_fn is None and cfg.get("use_augment", False):
         from adm_tpu.core.augment import AugmentPipe
@@ -183,6 +215,7 @@ def build_model(
 
     common = dict(
         cond_shape=cond_shape,
+        cond_dtype=cond_dtype,
         net=net,
         process_name=process_name,
         image_size=tuple(cfg.get("image_size", (32, 32))),
