@@ -117,6 +117,16 @@ class DDPM:
             return 2 * jax.random.uniform(key, shape, jnp.float32) - 1
         raise NotImplementedError(f"start_dist {self.start_dist}")
 
+    # image-space DDPM applies LPIPS directly on x_rec; the latent subclass
+    # moves it into the decoded-image branch (reference ddm_const_2.py:248 vs
+    # :575-576)
+    _main_perceptual = True
+
+    def extra_vlb(self, x_rec, x_start, t, extras) -> Array:
+        """Subclass hook for additional per-sample vlb terms."""
+        del x_rec, x_start, t, extras
+        return jnp.zeros(())
+
     def p_losses(
         self,
         params: Any,
@@ -126,6 +136,7 @@ class DDPM:
         cond: Optional[Array] = None,
         *,
         train: bool = True,
+        extras: Optional[dict] = None,
     ) -> Tuple[Array, Dict[str, Array]]:
         """Weighted decoupled loss (reference ddm/ddm_const_2.py:199-258)."""
         proc = self.process
@@ -171,11 +182,16 @@ class DDPM:
             ) / 2
 
         loss_vlb = jnp.zeros_like(loss_simple)
-        if self.perceptual_weight > 0 and self.perceptual_fn is not None:
+        if (
+            self._main_perceptual
+            and self.perceptual_weight > 0
+            and self.perceptual_fn is not None
+        ):
             rec_weight = -jnp.log(t) / 2
             loss_vlb = (
                 self.perceptual_fn(x_rec, x_start) * rec_weight * self.perceptual_weight
             )
+        loss_vlb = loss_vlb + self.extra_vlb(x_rec, x_start, t, extras)
 
         batch = x_start.shape[0]
         loss = (jnp.sum(loss_simple) + jnp.sum(loss_vlb)) / batch
@@ -246,6 +262,16 @@ class DDPM:
         )
 
 
+def specify_gradient(x: Array, gt_grad: Array) -> Array:
+    """JAX equivalent of the reference's SpecifyGradient autograd.Function
+    (ddm/ddm_const_2.py:739-752): contributes a constant to the loss value
+    while injecting `gt_grad` (scalar or x-shaped, stop-gradiented) as the
+    gradient w.r.t. x."""
+    g = jax.lax.stop_gradient(jnp.broadcast_to(gt_grad, x.shape))
+    val = jnp.sum(x * g)
+    return val - jax.lax.stop_gradient(val)
+
+
 @dataclasses.dataclass(frozen=True)
 class LatentDiffusion(DDPM):
     """Latent-space diffusion with a frozen first-stage VAE
@@ -259,6 +285,13 @@ class LatentDiffusion(DDPM):
     scale_factor: float = 1.0
     scale_by_std: bool = True
     scale_by_softsign: bool = False
+    _main_perceptual = False
+    # LDM loss extras (ddm/ddm_const_2.py:566-578):
+    use_disloss: bool = False
+    # optional extension hook, e.g. the fork's segmentation loss
+    # (ddm/ddm_res.py:774-800 — its SegmentationLoss import is broken in the
+    # reference repo): (img_rec, batch) -> per-sample (B,) loss
+    aux_loss_fn: Optional[Callable] = None
 
     def encode_input(self, fs_params: Any, x: Array, key: Array) -> Array:
         z = self.first_stage.encode_sample(fs_params, x, key)
@@ -283,7 +316,37 @@ class LatentDiffusion(DDPM):
             jax.random.uniform(k_t, (z.shape[0],), jnp.float32) * (1.0 - self.eps)
             + self.eps
         )
-        return self.p_losses(params, z, t, k_p, cond, train=train)
+        extras = {"x": x, "fs_params": fs_params, "batch": batch}
+        return self.p_losses(params, z, t, k_p, cond, train=train, extras=extras)
+
+    def extra_vlb(self, z_rec, z_start, t, extras) -> Array:
+        """LDM vlb tail (ddm/ddm_const_2.py:566-580): per-sample
+        |z_rec - z| * (-log t / 2), plus the optional decoder-distillation
+        gradient (SpecifyGradient through a no-grad VAE decode) and the
+        fork's aux loss hook."""
+        rec_weight = -jnp.log(t) / 2
+        vlb = (
+            jnp.sum(jnp.abs(z_rec - z_start).reshape(z_rec.shape[0], -1), axis=1)
+            * rec_weight
+        )
+        if (self.use_disloss or self.aux_loss_fn is not None) and extras is not None:
+            x = extras["x"]
+            fs_params = extras["fs_params"]
+            img_rec = self.first_stage.decode(
+                fs_params, jax.lax.stop_gradient(z_rec) / self.scale_factor
+            )
+            img_rec = jnp.clip(img_rec, -1.0, 1.0)
+            loss_tmp = (
+                jnp.sum(jnp.abs(img_rec - x).reshape(x.shape[0], -1), axis=1)
+                * rec_weight
+            )
+            if self.perceptual_weight > 0 and self.perceptual_fn is not None:
+                loss_tmp = loss_tmp + self.perceptual_fn(img_rec, x) * rec_weight
+            if self.aux_loss_fn is not None:
+                loss_tmp = loss_tmp + self.aux_loss_fn(img_rec, extras["batch"])
+            if self.use_disloss:
+                vlb = vlb + specify_gradient(z_rec, jnp.mean(loss_tmp)) / z_rec.shape[0]
+        return vlb
 
     def sample(
         self,

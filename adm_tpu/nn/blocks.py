@@ -18,6 +18,7 @@ Design notes (TPU):
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -341,6 +342,7 @@ class UNetBlock(nn.Module):
     init_weight: float = 1.0
     init_bias: float = 0.0
     init_attn_weight: Optional[float] = None
+    use_flash_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -428,14 +430,39 @@ class UNetBlock(nn.Module):
                 qkv[..., 1, :],
                 qkv[..., 2, :],
             )  # (b, hw, heads, d)
-            # fp32 softmax island (reference forces fp32, uncond_unet.py:136-149)
-            q32 = q.astype(jnp.float32)
-            k32 = k.astype(jnp.float32) / jnp.sqrt(jnp.float32(c // heads))
-            logits = jnp.einsum("bqhd,bkhd->bhqk", q32, k32)
-            w_att = jax.nn.softmax(logits, axis=-1)
-            a = jnp.einsum(
-                "bhqk,bkhd->bqhd", w_att, v.astype(jnp.float32)
-            ).astype(x.dtype)
+            d_head = c // heads
+            seq = h * w
+            if self.use_flash_attention and seq >= 128:
+                # Pallas flash attention: never materializes the (seq,seq)
+                # logits in HBM — the fp32 softmax runs blockwise in VMEM.
+                # head_dim < 128 is zero-padded to the lane width; the extra
+                # MXU flops are tiny next to the logits HBM traffic saved.
+                from jax.experimental.pallas.ops.tpu.flash_attention import (
+                    flash_attention,
+                )
+
+                qh = q.transpose(0, 2, 1, 3)  # (b, heads, seq, d)
+                kh = k.transpose(0, 2, 1, 3)
+                vh = v.transpose(0, 2, 1, 3)
+                if d_head < 128:
+                    pad = 128 - d_head
+                    qh = jnp.pad(qh, ((0, 0), (0, 0), (0, 0), (0, pad)))
+                    kh = jnp.pad(kh, ((0, 0), (0, 0), (0, 0), (0, pad)))
+                    vh = jnp.pad(vh, ((0, 0), (0, 0), (0, 0), (0, pad)))
+                a = flash_attention(
+                    qh, kh, vh, sm_scale=1.0 / math.sqrt(d_head)
+                )
+                a = a[..., :d_head].transpose(0, 2, 1, 3).astype(x.dtype)
+            else:
+                # fp32 softmax island (reference forces fp32,
+                # uncond_unet.py:136-149)
+                q32 = q.astype(jnp.float32)
+                k32 = k.astype(jnp.float32) / jnp.sqrt(jnp.float32(d_head))
+                logits = jnp.einsum("bqhd,bkhd->bhqk", q32, k32)
+                w_att = jax.nn.softmax(logits, axis=-1)
+                a = jnp.einsum(
+                    "bhqk,bkhd->bqhd", w_att, v.astype(jnp.float32)
+                ).astype(x.dtype)
             a = a.reshape(b, h, w, c)
             x = x + Conv2d(c, kernel=1, dtype=self.dtype, name="proj", **init_zero)(a)
             x = x * self.skip_scale

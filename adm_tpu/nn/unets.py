@@ -75,6 +75,7 @@ class DhariwalUNet(nn.Module):
     out_mul: int = 1
     n_decoders: int = 2
     skip_tuning: bool = False
+    use_flash_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -102,6 +103,7 @@ class DhariwalUNet(nn.Module):
             init_mode="kaiming_uniform",
             init_weight=math.sqrt(1 / 3),
             init_bias=math.sqrt(1 / 3),
+            use_flash_attention=self.use_flash_attention,
             dtype=self.dtype,
         )
 
@@ -233,6 +235,7 @@ class SongUNet(nn.Module):
     resample_filter: Sequence[float] = (1, 3, 3, 1)
     n_decoders: int = 2
     skip_tuning: bool = False
+    use_flash_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -265,6 +268,7 @@ class SongUNet(nn.Module):
             init_weight=1.0,
             init_bias=0.0,
             init_attn_weight=math.sqrt(0.2),
+            use_flash_attention=self.use_flash_attention,
             dtype=self.dtype,
         )
 

@@ -154,6 +154,8 @@ class Trainer:
         fs_params=None,
         seed: int = 0,
         sample_batch_size: int = 16,
+        nan_guard: bool = True,
+        csv_log: bool = True,
     ):
         self.model = model
         self.data_iter = data_iter
@@ -166,6 +168,15 @@ class Trainer:
         self.grad_accum = gradient_accumulate_every
         self.fs_params = fs_params
         self.sample_batch_size = sample_batch_size
+        # fork features (SURVEY.md 2.1): NaN divergence guard
+        # (ddm/ddm_const.py:688-691) and per-interval CSV loss logs
+        # (ddm/ddm_const.py:609-646), as plain trainer flags
+        self.nan_guard = nan_guard
+        self.csv_path = (
+            self.results_folder / "training_log.csv" if csv_log else None
+        )
+        if self.csv_path is not None and not self.csv_path.exists():
+            self.csv_path.write_text("step,loss,loss_simple,grad_norm,lr\n")
 
         self.optimizer, self.lr_schedule = make_optimizer(
             train_lr, train_num_steps, warmup_steps, min_lr, weight_decay
@@ -227,16 +238,29 @@ class Trainer:
             if step % self.log_freq == 0 or step == total:
                 m = {k: float(v) for k, v in metrics.items()}
                 dt = time.time() - t0
+                loss_val = m.get("loss", 0)
+                if self.nan_guard and not math.isfinite(loss_val):
+                    raise FloatingPointError(
+                        f"loss diverged to {loss_val} at step {step} "
+                        "(NaN guard, reference ddm/ddm_const.py:688-691)"
+                    )
                 log.info(
                     "step %d/%d loss=%.4f simple=%.4f grad_norm=%.3f "
                     "imgs/sec=%.1f",
                     step,
                     total,
-                    m.get("loss", 0),
+                    loss_val,
                     m.get("train/loss_simple", 0),
                     m.get("grad_norm", 0),
                     imgs_seen / max(dt, 1e-9),
                 )
+                if self.csv_path is not None:
+                    with open(self.csv_path, "a") as f:
+                        f.write(
+                            f"{step},{loss_val},{m.get('train/loss_simple', 0)},"
+                            f"{m.get('grad_norm', 0)},"
+                            f"{float(self.lr_schedule(step))}\n"
+                        )
             if self.save_and_sample_every and step % self.save_and_sample_every == 0:
                 milestone = step // self.save_and_sample_every
                 self.save(milestone)

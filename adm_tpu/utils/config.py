@@ -240,6 +240,7 @@ def build_model(
             scale_factor=float(cfg.get("scale_factor", 1.0)),
             scale_by_std=bool(cfg.get("scale_by_std", True)),
             scale_by_softsign=bool(cfg.get("scale_by_softsign", False)),
+            use_disloss=bool(cfg.get("use_disloss", False)),
             **common,
         )
     return DDPM(**common)
