@@ -205,6 +205,23 @@ def build_model(
         cond_shape = (cfg["unet"].get("context_length", 77),)
         cond_dtype = "int32"
 
+    if perceptual_fn is None and float(cfg.get("perceptual_weight", 0.0)) > 0:
+        import os
+
+        if os.environ.get("ADM_TPU_DISABLE_LPIPS"):
+            log.warning("perceptual_weight > 0 but LPIPS disabled via env")
+        else:
+            from adm_tpu.metrics.lpips import build_lpips_params, make_perceptual_fn
+
+            lp = build_lpips_params()
+            perceptual_fn = make_perceptual_fn(lp)
+            if not os.environ.get("ADM_TPU_VGG16_WEIGHTS"):
+                log.warning(
+                    "LPIPS running with RANDOM VGG16 backbone weights — set "
+                    "ADM_TPU_VGG16_WEIGHTS to a converted torchvision vgg16 "
+                    ".npz for the real perceptual loss"
+                )
+
     if augment_fn is None and cfg.get("use_augment", False):
         from adm_tpu.core.augment import AugmentPipe
 
