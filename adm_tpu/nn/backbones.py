@@ -272,6 +272,92 @@ class ResNetBackbone(nn.Module):
 
 
 # ---------------------------------------------------------------------------
+# EfficientNet-B7 (MBConv + SE) 4-scale backbone (unet/efficientnet.py:233-373;
+# reference taps stages with 48/80/224/640 channels at strides 4/8/16/32)
+# ---------------------------------------------------------------------------
+
+
+class SqueezeExcite(nn.Module):
+    reduced: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = jax.nn.silu(nn.Conv(self.reduced, (1, 1), dtype=self.dtype)(s))
+        s = jax.nn.sigmoid(nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype)(s))
+        return x * s
+
+
+class MBConv(nn.Module):
+    features: int
+    expand: int = 6
+    kernel: int = 3
+    stride: int = 1
+    se_ratio: float = 0.25
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_ch = x.shape[-1]
+        h = x
+        mid = in_ch * self.expand
+        if self.expand != 1:
+            h = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype)(h)
+            h = jax.nn.silu(_GNorm()(h))
+        pad = self.kernel // 2
+        h = nn.Conv(
+            mid, (self.kernel, self.kernel), strides=(self.stride, self.stride),
+            padding=pad, feature_group_count=mid, use_bias=False, dtype=self.dtype,
+        )(h)
+        h = jax.nn.silu(_GNorm()(h))
+        h = SqueezeExcite(max(1, int(in_ch * self.se_ratio)), dtype=self.dtype)(h)
+        h = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(h)
+        h = _GNorm()(h)
+        if self.stride == 1 and in_ch == self.features:
+            h = h + x
+        return h
+
+
+class EfficientNetBackbone(nn.Module):
+    """EfficientNet-B7 layout; returns the reference's 4 tap stages."""
+
+    # (features, depth, stride, kernel) per stage — B7 scaling
+    stages: Sequence[Tuple[int, int, int, int]] = (
+        (32, 4, 1, 3),
+        (48, 7, 2, 3),
+        (80, 7, 2, 5),
+        (160, 10, 2, 3),
+        (224, 10, 1, 5),
+        (384, 13, 2, 5),
+        (640, 4, 1, 3),
+    )
+    taps: Sequence[int] = (1, 2, 4, 6)
+    in_channels: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Tuple[Array, ...]:
+        x = nn.Conv(
+            64, (3, 3), strides=(2, 2), padding=1, use_bias=False, dtype=self.dtype
+        )(x.astype(self.dtype))
+        x = jax.nn.silu(_GNorm()(x))
+        feats = []
+        for si, (f, depth, stride, k) in enumerate(self.stages):
+            for bi in range(depth):
+                x = MBConv(
+                    f,
+                    expand=1 if si == 0 else 6,
+                    kernel=k,
+                    stride=stride if bi == 0 else 1,
+                    dtype=self.dtype,
+                )(x)
+            if si in self.taps:
+                feats.append(x)
+        return tuple(feats)
+
+
+# ---------------------------------------------------------------------------
 # light conv backbone (tests / benches)
 # ---------------------------------------------------------------------------
 
@@ -305,6 +391,7 @@ class ConvBackbone(nn.Module):
 BACKBONES = {
     "swin": (SwinBackbone, 128),
     "resnet": (ResNetBackbone, 256),
+    "effnet": (EfficientNetBackbone, 48),
     "conv": (ConvBackbone, 32),
 }
 

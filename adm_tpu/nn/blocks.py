@@ -253,15 +253,19 @@ class GroupNorm(nn.Module):
         groups = min(self.num_groups, max(c // self.min_channels_per_group, 1))
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        orig_dtype = x.dtype
-        x = x.astype(jnp.float32)
         b, h, w_, _ = x.shape
         xg = x.reshape(b, h, w_, groups, c // groups)
-        mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True)
-        var = jnp.var(xg, axis=(1, 2, 4), keepdims=True)
-        xg = (xg - mean) * jax.lax.rsqrt(var + self.eps)
-        x = xg.reshape(b, h, w_, c) * scale + bias
-        return x.astype(orig_dtype)
+        # statistics in fp32, normalization arithmetic in the compute dtype —
+        # a full fp32 activation copy would double HBM traffic and residual
+        # memory (it OOMed batch-256 on v5e)
+        x32 = xg.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(1, 2, 4), keepdims=True)
+        var = jnp.var(x32, axis=(1, 2, 4), keepdims=True)
+        inv = jax.lax.rsqrt(var + self.eps)
+        xg = (xg - mean.astype(x.dtype)) * inv.astype(x.dtype)
+        return xg.reshape(b, h, w_, c) * scale.astype(x.dtype) + bias.astype(
+            x.dtype
+        )
 
 
 class PositionalEmbedding(nn.Module):

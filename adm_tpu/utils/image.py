@@ -33,6 +33,26 @@ def save_image_grid(images, path: str, nrow: int = 8):
     Image.fromarray(grid).save(path)
 
 
+# Cityscapes-style palette for colorizing segmentation conds
+# (reference sample_cond_ldm.py:38-47,204-214)
+PALETTE = np.array(
+    [
+        [128, 64, 128], [244, 35, 232], [70, 70, 70], [102, 102, 156],
+        [190, 153, 153], [153, 153, 153], [250, 170, 30], [220, 220, 0],
+        [107, 142, 35], [152, 251, 152], [70, 130, 180], [220, 20, 60],
+        [255, 0, 0], [0, 0, 142], [0, 0, 70], [0, 60, 100], [0, 80, 100],
+        [0, 0, 230], [119, 11, 32],
+    ],
+    np.uint8,
+)
+
+
+def colorize_segmentation(seg: np.ndarray, palette: np.ndarray = PALETTE):
+    """(H, W) int labels -> (H, W, 3) uint8 colors."""
+    seg = np.asarray(seg).astype(np.int64) % len(palette)
+    return palette[seg]
+
+
 def save_image(img, path: str):
     from PIL import Image
 
