@@ -233,6 +233,7 @@ class DDPM:
         cond: Optional[Array] = None,
         *,
         unnormalize: bool = True,
+        init_noise: Optional[Array] = None,
     ) -> Array:
         h, w = self.image_size
         if cond is not None:
@@ -249,6 +250,7 @@ class DDPM:
                 clip_x_start=self.clip_x_start,
                 scale_input=self.scale_input,
                 unnormalize=unnormalize,
+                init_noise=init_noise,
             )
         return sampling.sample_stochastic(
             self.process,

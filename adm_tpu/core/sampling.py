@@ -40,14 +40,24 @@ def sample_deterministic(
     scale_input: float = 1.0,
     unnormalize: bool = True,
     final_clip: bool = True,
+    init_noise: Optional[Array] = None,
 ) -> Array:
     """Deterministic few-step sampler (reference `sample_fn_d`).
 
     shape is NHWC. Starts from N(0, t0^2) noise and scans over consecutive
     (t_cur, t_next) pairs of `process.t_steps(n_steps)`.
+
+    `init_noise` (unit std) overrides the PRNG draw — the sampler's ONLY
+    randomness — enabling bit-matched samples against other frameworks
+    (the seed-parity protocol in BASELINE.md).
     """
     t_steps = process.t_steps(n_steps)
-    x = jax.random.normal(key, shape, jnp.float32) * t_steps[0]
+    noise0 = (
+        init_noise
+        if init_noise is not None
+        else jax.random.normal(key, shape, jnp.float32)
+    )
+    x = noise0 * t_steps[0]
     batch = shape[0]
     clip = scale_input if clip_x_start else None
 
