@@ -61,6 +61,14 @@ def load_first_stage(cfg):
 
 def run_training(args, *, conditional: bool, latent: bool):
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    # rbg PRNG: measured ~9% step-time win over threefry on v5e (dropout and
+    # noise mask generation); deterministic per seed, stream differs from
+    # threefry. Opt out with ADM_TPU_PRNG=threefry.
+    import os
+
+    jax.config.update(
+        "jax_default_prng_impl", os.environ.get("ADM_TPU_PRNG", "rbg")
+    )
     cfg = load_conf(args.cfg)
     model_cfg, data_cfg, train_cfg = cfg["model"], cfg["data"], cfg["trainer"]
 
@@ -90,7 +98,14 @@ def run_training(args, *, conditional: bool, latent: bool):
         )
 
     first_batch = next(data_iter)
-    if latent and model.scale_by_std and not model.scale_by_softsign:
+    # default_scale: keep the configured scale_factor instead of calibrating
+    # (reference ddm/ddm_const_2.py:477-489)
+    if (
+        latent
+        and model.scale_by_std
+        and not model.scale_by_softsign
+        and not model_cfg.get("default_scale", False)
+    ):
         sf = model.calibrate_scale_factor(
             fs_params, jnp.asarray(first_batch["image"]), jax.random.PRNGKey(0)
         )

@@ -95,6 +95,22 @@ def main():
             log.info("sampled %d/%d", written, sample_num)
     log.info("done: %d images in %s", written, save_folder)
 
+    # on-device FID vs the target set (replaces the reference's external
+    # `fidelity` CLI shell-out, sample_uncond.py:177-180)
+    target = sampler_cfg.get("target_path")
+    if target and os.path.isdir(target):
+        try:
+            from adm_tpu.metrics.metric import calculate_metrics
+
+            res = calculate_metrics(str(save_folder), target, fid=True)
+            log.info("FID: %.4f", res["frechet_inception_distance"])
+            import json
+
+            with open(save_folder.parent / "fid_result.json", "w") as f:
+                json.dump(res, f)
+        except FileNotFoundError as e:
+            log.warning("FID skipped: %s", e)
+
 
 if __name__ == "__main__":
     main()

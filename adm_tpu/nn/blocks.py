@@ -350,7 +350,7 @@ class UNetBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, emb: Array, *, deterministic: bool = True) -> Array:
+    def __call__(self, x: Array, emb: Array, deterministic: bool = True) -> Array:
         in_ch = x.shape[-1]
         heads = (
             0

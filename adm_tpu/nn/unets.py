@@ -76,6 +76,7 @@ class DhariwalUNet(nn.Module):
     n_decoders: int = 2
     skip_tuning: bool = False
     use_flash_attention: bool = False
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -96,6 +97,9 @@ class DhariwalUNet(nn.Module):
         )
         init_zero = dict(init_mode="kaiming_uniform", init_weight=0.0, init_bias=0.0)
         init_one = dict(init_mode="kaiming_uniform", init_weight=1.0, init_bias=0.0)
+        # per-block rematerialization: trade recompute for activation memory
+        # (static argnums: 0=self, 1=x, 2=emb, 3=deterministic)
+        Block = nn.remat(UNetBlock, static_argnums=(3,)) if self.remat else UNetBlock
         block_kw = dict(
             emb_channels=emb_channels,
             channels_per_head=64,
@@ -155,17 +159,17 @@ class DhariwalUNet(nn.Module):
                 )(x)
                 skips.append(x)
             else:
-                x = UNetBlock(
+                x = Block(
                     x.shape[-1], down=True, name=f"enc_{res}_down", **block_kw
-                )(x, emb, deterministic=deterministic)
+                )(x, emb, deterministic)
                 skips.append(x)
             for idx in range(self.num_blocks):
-                x = UNetBlock(
+                x = Block(
                     cout,
                     attention=(res in self.attn_resolutions),
                     name=f"enc_{res}_block{idx}",
                     **block_kw,
-                )(x, emb, deterministic=deterministic)
+                )(x, emb, deterministic)
                 skips.append(x)
 
         # ---- decoupling (uncond_unet.py:500-507,566-567) ----------------
@@ -183,27 +187,27 @@ class DhariwalUNet(nn.Module):
             for level, mult in reversed(list(enumerate(self.channel_mult))):
                 res = self.img_resolution >> level
                 if level == len(self.channel_mult) - 1:
-                    h = UNetBlock(
+                    h = Block(
                         h.shape[-1],
                         attention=True,
                         name=f"dec{suffix}_{res}_in0",
                         **block_kw,
-                    )(h, emb, deterministic=deterministic)
-                    h = UNetBlock(
+                    )(h, emb, deterministic)
+                    h = Block(
                         h.shape[-1], name=f"dec{suffix}_{res}_in1", **block_kw
-                    )(h, emb, deterministic=deterministic)
+                    )(h, emb, deterministic)
                 else:
-                    h = UNetBlock(
+                    h = Block(
                         h.shape[-1], up=True, name=f"dec{suffix}_{res}_up", **block_kw
-                    )(h, emb, deterministic=deterministic)
+                    )(h, emb, deterministic)
                 for idx in range(self.num_blocks + 1):
                     h = jnp.concatenate([h, dec_skips.pop()], axis=-1)
-                    h = UNetBlock(
+                    h = Block(
                         self.model_channels * mult,
                         attention=(res in self.attn_resolutions),
                         name=f"dec{suffix}_{res}_block{idx}",
                         **block_kw,
-                    )(h, emb, deterministic=deterministic)
+                    )(h, emb, deterministic)
             h = GroupNorm(dtype=self.dtype, name=f"out_norm{suffix}")(h)
             out_ch = self.out_channels * (self.out_mul if d == 0 else 1)
             h = Conv2d(
@@ -236,6 +240,7 @@ class SongUNet(nn.Module):
     n_decoders: int = 2
     skip_tuning: bool = False
     use_flash_attention: bool = False
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -255,6 +260,7 @@ class SongUNet(nn.Module):
         noise_channels = self.model_channels * self.channel_mult_noise
         init = dict(init_mode="xavier_uniform", init_weight=1.0, init_bias=0.0)
         init_zero = dict(init_mode="xavier_uniform", init_weight=1e-5, init_bias=0.0)
+        Block = nn.remat(UNetBlock, static_argnums=(3,)) if self.remat else UNetBlock
         block_kw = dict(
             emb_channels=emb_channels,
             num_heads=1,
@@ -325,9 +331,9 @@ class SongUNet(nn.Module):
                 )(x)
                 skips.append(x)
             else:
-                x = UNetBlock(
+                x = Block(
                     x.shape[-1], down=True, name=f"enc_{res}_down", **block_kw
-                )(x, emb, deterministic=deterministic)
+                )(x, emb, deterministic)
                 skips.append(x)
                 if self.encoder_type == "skip":
                     aux = Conv2d(
@@ -362,12 +368,12 @@ class SongUNet(nn.Module):
                     aux = x
             for idx in range(self.num_blocks):
                 cout = self.model_channels * mult
-                x = UNetBlock(
+                x = Block(
                     cout,
                     attention=(res in self.attn_resolutions),
                     name=f"enc_{res}_block{idx}",
                     **block_kw,
-                )(x, emb, deterministic=deterministic)
+                )(x, emb, deterministic)
                 skips.append(x)
 
         # ---- decoders (uncond_unet.py:323-330,334-378,409-441) ----------
@@ -389,28 +395,28 @@ class SongUNet(nn.Module):
             for level, mult in reversed(list(enumerate(self.channel_mult))):
                 res = self.img_resolution >> level
                 if level == len(self.channel_mult) - 1:
-                    h = UNetBlock(
+                    h = Block(
                         h.shape[-1],
                         attention=True,
                         name=f"dec{suffix}_{res}_in0",
                         **block_kw,
-                    )(h, emb, deterministic=deterministic)
-                    h = UNetBlock(
+                    )(h, emb, deterministic)
+                    h = Block(
                         h.shape[-1], name=f"dec{suffix}_{res}_in1", **block_kw
-                    )(h, emb, deterministic=deterministic)
+                    )(h, emb, deterministic)
                 else:
-                    h = UNetBlock(
+                    h = Block(
                         h.shape[-1], up=True, name=f"dec{suffix}_{res}_up", **block_kw
-                    )(h, emb, deterministic=deterministic)
+                    )(h, emb, deterministic)
                 for idx in range(self.num_blocks + 1):
                     h = jnp.concatenate([h, dec_skips.pop()], axis=-1)
                     attn = idx == self.num_blocks and res in self.attn_resolutions
-                    h = UNetBlock(
+                    h = Block(
                         self.model_channels * mult,
                         attention=attn,
                         name=f"dec{suffix}_{res}_block{idx}",
                         **block_kw,
-                    )(h, emb, deterministic=deterministic)
+                    )(h, emb, deterministic)
                 if self.decoder_type == "skip" or level == 0:
                     if self.decoder_type == "skip" and level < len(self.channel_mult) - 1:
                         aux_out = Conv2d(

@@ -28,6 +28,11 @@ SAMPLE_BATCH = 128
 
 
 def main():
+    import os
+
+    jax.config.update(
+        "jax_default_prng_impl", os.environ.get("ADM_TPU_PRNG", "rbg")
+    )
     from adm_tpu.core.diffusion import DDPM
     from adm_tpu.parallel.mesh import (
         data_sharding,
