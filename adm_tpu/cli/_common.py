@@ -69,6 +69,10 @@ def run_training(args, *, conditional: bool, latent: bool):
     jax.config.update(
         "jax_default_prng_impl", os.environ.get("ADM_TPU_PRNG", "rbg")
     )
+    if os.environ.get("ADM_TPU_MULTIHOST"):
+        # multi-host DCN: coordinator/num_processes from the standard env
+        # (replaces the reference's torch_utils/distributed.py:14-41 init)
+        jax.distributed.initialize()
     cfg = load_conf(args.cfg)
     model_cfg, data_cfg, train_cfg = cfg["model"], cfg["data"], cfg["trainer"]
 

@@ -9,6 +9,7 @@ from adm_tpu.data.image_folder import (
 )
 from adm_tpu.data.paired import (
     ADE20KDataset,
+    ImageNetSR,
     CityscapesDataset,
     DUTSDataset,
     EdgeDataset,
@@ -28,6 +29,7 @@ __all__ = [
     "LSUNDataset",
     "ImageMaskDataset",
     "ADE20KDataset",
+    "ImageNetSR",
     "CityscapesDataset",
     "DUTSDataset",
     "EdgeDataset",

@@ -117,6 +117,38 @@ class SRDataset:
         }
 
 
+class ImageNetSR(SRDataset):
+    """ImageNet SR with degradation pipeline (reference ddm/imagenet.py:26-390):
+    center-crop to image_size then bicubic (or blurred-bicubic) down/up."""
+
+    def __init__(self, *args, degradation: str = "bicubic", **kwargs):
+        super().__init__(*args, **kwargs)
+        self.degradation = degradation
+
+    def __getitem__(self, index):
+        from adm_tpu.data.image_folder import load_image
+
+        img = load_image(self.paths[index])
+        h, w = img.shape[:2]
+        s = min(h, w)
+        y, x = (h - s) // 2, (w - s) // 2
+        hr = resize(img[y : y + s, x : x + s], self.image_size, "bicubic")
+        if self.flip and np.random.rand() < 0.5:
+            hr = hr[:, ::-1].copy()
+        lr_size = (self.image_size[0] // self.scale, self.image_size[1] // self.scale)
+        if self.degradation == "blur_bicubic":
+            from scipy.ndimage import gaussian_filter
+
+            hr_blur = gaussian_filter(hr.astype(np.float32), sigma=(1.0, 1.0, 0))
+            lr = resize(hr_blur.astype(np.uint8), lr_size, "bicubic")
+        else:
+            lr = resize(hr, lr_size, "bicubic")
+        return {
+            "image": to_neg_one_one(hr),
+            "cond": to_neg_one_one(resize(lr, self.image_size, "bicubic")),
+        }
+
+
 class SRDatasetTest(SRDataset):
     def __getitem__(self, index):
         hr = resize(load_image(self.paths[index]), self.image_size)
