@@ -80,6 +80,91 @@ def _convert_spatial_att(sd: Dict, prefix: str) -> Dict:
     }
 
 
+def convert_autoencoder_kl(sd: Dict) -> Dict:
+    """Reference AutoencoderKL state_dict (ddm/encoder_decoder.py:894, also
+    CompVis kl-f* checkpoints under their 'state_dict' key) -> flax params
+    for adm_tpu.vae.AutoencoderKL."""
+    sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+          for k, v in sd.items()}
+
+    def conv(prefix):
+        return {"kernel": _t_conv(sd[f"{prefix}.weight"]),
+                "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+    def norm(prefix):
+        return {"scale": np.asarray(sd[f"{prefix}.weight"]),
+                "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+    def resblock(tp):
+        out = {"norm1": norm(f"{tp}.norm1"), "conv1": conv(f"{tp}.conv1"),
+               "norm2": norm(f"{tp}.norm2"), "conv2": conv(f"{tp}.conv2")}
+        if f"{tp}.nin_shortcut.weight" in sd:
+            out["nin_shortcut"] = conv(f"{tp}.nin_shortcut")
+        if f"{tp}.conv_shortcut.weight" in sd:
+            out["conv_shortcut"] = conv(f"{tp}.conv_shortcut")
+        return out
+
+    def attnblock(tp):
+        return {"norm": norm(f"{tp}.norm"), "q": conv(f"{tp}.q"),
+                "k": conv(f"{tp}.k"), "v": conv(f"{tp}.v"),
+                "proj_out": conv(f"{tp}.proj_out")}
+
+    def tower(side):  # 'encoder' | 'decoder'
+        out = {"conv_in": conv(f"{side}.conv_in"),
+               "norm_out": norm(f"{side}.norm_out"),
+               "conv_out": conv(f"{side}.conv_out"),
+               "mid_block_1": resblock(f"{side}.mid.block_1"),
+               "mid_attn_1": attnblock(f"{side}.mid.attn_1"),
+               "mid_block_2": resblock(f"{side}.mid.block_2")}
+        key = "down" if side == "encoder" else "up"
+        lvl = 0
+        while f"{side}.{key}.{lvl}.block.0.norm1.weight" in sd:
+            blk = 0
+            while f"{side}.{key}.{lvl}.block.{blk}.norm1.weight" in sd:
+                out[f"{key}_{lvl}_block_{blk}"] = resblock(
+                    f"{side}.{key}.{lvl}.block.{blk}")
+                if f"{side}.{key}.{lvl}.attn.{blk}.norm.weight" in sd:
+                    out[f"{key}_{lvl}_attn_{blk}"] = attnblock(
+                        f"{side}.{key}.{lvl}.attn.{blk}")
+                blk += 1
+            if f"{side}.{key}.{lvl}.downsample.conv.weight" in sd:
+                out[f"down_{lvl}_downsample"] = {
+                    "conv": conv(f"{side}.{key}.{lvl}.downsample.conv")}
+            if f"{side}.{key}.{lvl}.upsample.conv.weight" in sd:
+                out[f"up_{lvl}_upsample"] = {
+                    "conv": conv(f"{side}.{key}.{lvl}.upsample.conv")}
+            lvl += 1
+        return out
+
+    return {"params": {
+        "encoder": tower("encoder"),
+        "decoder": tower("decoder"),
+        "quant_conv": conv("quant_conv"),
+        "post_quant_conv": conv("post_quant_conv"),
+    }}
+
+
+def convert_reference_checkpoint(path: str, use_ema: bool = True) -> Dict:
+    """Load a reference trainer checkpoint (torch.save of {step, model, opt,
+    lr_scheduler, ema, scaler} — train_uncond_dpm.py:211-220) and convert the
+    diffusion model weights to a flax param tree. EMA keys use the
+    'ema_model.' prefix (ddm/ddm_const_2.py:119-131)."""
+    import torch
+
+    data = torch.load(path, map_location="cpu")
+    if use_ema and "ema" in data:
+        sd = {k[len("ema_model."):]: v for k, v in data["ema"].items()
+              if k.startswith("ema_model.")}
+    else:
+        sd = data["model"] if "model" in data else data
+    # strip the process-level 'model.' nesting if the ckpt stores the full
+    # DDPM module (model.model.* = net weights)
+    if any(k.startswith("model.model.") for k in sd):
+        sd = {k[len("model."):]: v for k, v in sd.items()
+              if k.startswith("model.")}
+    return convert_dhariwal_edm(sd)
+
+
 def convert_dhariwal_edm(sd: Dict, channels_per_head: int = 64) -> Dict:
     """Convert a reference EDMPrecond(DhariwalUNet) state_dict (possibly
     torch tensors) to the adm_tpu EDMPrecond param tree {'params': ...}."""
