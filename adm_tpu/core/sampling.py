@@ -92,19 +92,30 @@ def sample_stochastic(
     scale_input: float = 1.0,
     unnormalize: bool = True,
     start_scale: Optional[float] = None,
+    step_grid: str = "uniform",
 ) -> Array:
-    """Stochastic sampler (reference `sample_fn_s`, uniform-step variant).
+    """Stochastic sampler (reference `sample_fn_s`).
 
-    Uniform steps s = 1/n; with `denoise` the final step is split into
-    (1/n - eps, eps) (ddm/ddm_const_2.py:641-646). The drift is corrected
-    each step via `process.stochastic_correct`, and the very last step uses
-    s = remaining time so the walk lands exactly at t=0.
+    step_grid='uniform': s = 1/n each; with `denoise` the final step splits
+    into (1/n - eps, eps) (LDM variant, ddm/ddm_const_2.py:641-646).
+    step_grid='quadratic': steps are the diffs of the sigma^2-linear grid
+    sigma_max^2 -> sigma_min^2 (+0) (uncond variant, ddm_const_2.py:292-298).
+    The drift is corrected each step via `process.stochastic_correct`, and
+    the very last step uses s = remaining time so the walk lands at t=0.
     """
-    step = 1.0 / n_steps
-    s_list = [step] * n_steps
-    if denoise:
-        s_list = s_list[:-1] + [step - process.eps, process.eps]
-    s_steps = jnp.asarray(s_list, jnp.float32)
+    if step_grid == "quadratic":
+        idx = jnp.arange(n_steps, dtype=jnp.float32)
+        grid = process.sigma_max**2 + idx / (n_steps - 1) * (
+            process.sigma_min**2 - process.sigma_max**2
+        )
+        grid = jnp.concatenate([grid, jnp.zeros((1,), jnp.float32)])
+        s_steps = -jnp.diff(grid)
+    else:
+        step = 1.0 / n_steps
+        s_list = [step] * n_steps
+        if denoise:
+            s_list = s_list[:-1] + [step - process.eps, process.eps]
+        s_steps = jnp.asarray(s_list, jnp.float32)
     n_total = s_steps.shape[0]
     batch = shape[0]
     clip = scale_input if clip_x_start else None
