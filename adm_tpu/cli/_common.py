@@ -61,13 +61,13 @@ def load_first_stage(cfg):
 
 def run_training(args, *, conditional: bool, latent: bool):
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
-    # rbg PRNG: measured ~9% step-time win over threefry on v5e (dropout and
-    # noise mask generation); deterministic per seed, stream differs from
-    # threefry. Opt out with ADM_TPU_PRNG=threefry.
+    # rbg PRNG measured ~9% faster than threefry on v5e, but the axon
+    # compile service intermittently crashes on rbg programs — default to
+    # the reliable threefry; opt in with ADM_TPU_PRNG=rbg.
     import os
 
     jax.config.update(
-        "jax_default_prng_impl", os.environ.get("ADM_TPU_PRNG", "rbg")
+        "jax_default_prng_impl", os.environ.get("ADM_TPU_PRNG", "threefry2x32")
     )
     if os.environ.get("ADM_TPU_MULTIHOST"):
         # multi-host DCN: coordinator/num_processes from the standard env

@@ -30,8 +30,11 @@ SAMPLE_BATCH = 128
 def main():
     import os
 
+    # rbg measured ~9% faster but the axon compile service has crashed on
+    # some rbg programs (HTTP 500); the unattended bench defaults to the
+    # always-working threefry. Opt in with ADM_TPU_PRNG=rbg.
     jax.config.update(
-        "jax_default_prng_impl", os.environ.get("ADM_TPU_PRNG", "rbg")
+        "jax_default_prng_impl", os.environ.get("ADM_TPU_PRNG", "threefry2x32")
     )
     from adm_tpu.core.diffusion import DDPM
     from adm_tpu.parallel.mesh import (
