@@ -25,33 +25,51 @@ from adm_tpu.nn.pallas.groupnorm import _group_stats
 Array = jax.Array
 
 
+from adm_tpu.nn.pallas.groupnorm import _group_matrix
+
+
 def _kernel(x_ref, scale_ref, bias_ref, w_ref, cb_ref, o_ref, *,
-            groups: int, eps: float):
+            groups: int, eps: float, sb: int):
+    """sb samples per program: bigger matmuls per DMA round-trip."""
     i = pl.program_id(0)
     _, h, w, c = x_ref.shape
     c_out = o_ref.shape[-1]
-    x32 = x_ref[:].reshape(h * w, c).astype(jnp.float32)
-    mean_c, rstd_c = _group_stats(x32, c, groups, eps)
-    z = (x32 - mean_c) * rstd_c
-    z = z * scale_ref[i].reshape(1, c).astype(jnp.float32) + bias_ref[i].reshape(
-        1, c
-    ).astype(jnp.float32)
-    act = (z * jax.nn.sigmoid(z)).astype(jnp.bfloat16).reshape(h, w, c)
-    # zero-pad spatially for the 3x3 window (static pad — Mosaic has no
-    # dynamic_update_slice lowering)
-    pad = jnp.pad(act, ((1, 1), (1, 1), (0, 0)))
+    hw = h * w
+    x32 = x_ref[:].reshape(sb, hw, c).astype(jnp.float32)
 
-    acc = jnp.zeros((h * w, c_out), jnp.float32)
+    # per-sample group statistics, all lane-aligned:
+    m = _group_matrix(c, groups)  # (C, G)
+    n = hw * (c // groups)
+    ch_sum = jnp.sum(x32, axis=1)  # (sb, C)
+    ch_sq = jnp.sum(x32 * x32, axis=1)
+    g_mean = jnp.dot(ch_sum, m, preferred_element_type=jnp.float32) / n
+    g_sq = jnp.dot(ch_sq, m, preferred_element_type=jnp.float32) / n
+    mean_c = jnp.dot(g_mean, m.T, preferred_element_type=jnp.float32)  # (sb, C)
+    var_c = jnp.dot(g_sq, m.T, preferred_element_type=jnp.float32) - mean_c**2
+    rstd_c = jax.lax.rsqrt(var_c + eps)
+
+    scale = scale_ref[pl.ds(i * sb, sb)].astype(jnp.float32)  # (sb, C)
+    bias = bias_ref[pl.ds(i * sb, sb)].astype(jnp.float32)
+    z = (x32 - mean_c[:, None, :]) * rstd_c[:, None, :]
+    z = z * scale[:, None, :] + bias[:, None, :]
+    act = (z * jax.nn.sigmoid(z)).astype(jnp.bfloat16).reshape(sb, h, w, c)
+    # zero-pad each sample spatially (static pad; Mosaic lacks
+    # dynamic_update_slice)
+    pad = jnp.pad(act, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+    acc = jnp.zeros((sb * hw, c_out), jnp.float32)
     for dy in range(3):
         for dx in range(3):
-            patch = jax.lax.slice(pad, (dy, dx, 0), (dy + h, dx + w, c))
+            patch = jax.lax.slice(
+                pad, (0, dy, dx, 0), (sb, dy + h, dx + w, c)
+            )
             acc = acc + jnp.dot(
-                patch.reshape(h * w, c),
+                patch.reshape(sb * hw, c),
                 w_ref[dy, dx].astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
             )
     acc = acc + cb_ref[:].reshape(1, c_out).astype(jnp.float32)
-    o_ref[:] = acc.reshape(1, h, w, c_out).astype(o_ref.dtype)
+    o_ref[:] = acc.reshape(sb, h, w, c_out).astype(o_ref.dtype)
 
 
 def fused_gn_silu_conv3x3(
@@ -63,11 +81,14 @@ def fused_gn_silu_conv3x3(
     groups: int = 32,
     eps: float = 1e-5,
     interpret: bool = False,
+    samples_per_block: int = 8,
 ) -> Array:
     """conv3x3(silu(groupnorm(x)*scale+bias)) in one pass. NHWC, SAME pad.
 
     gn_scale/gn_bias: (C,) or per-sample (B, C) — the adaptive scale/shift
-    path folds in exactly as in fused_groupnorm_silu.
+    path folds in exactly as in fused_groupnorm_silu. samples_per_block
+    batches several samples into each program for bigger MXU matmuls
+    (VMEM budget: sb * (in + out + padded act) — 8 fits 32x32x192..384).
     """
     b, h, w, c = x.shape
     c_out = conv_kernel.shape[-1]
@@ -75,19 +96,22 @@ def fused_gn_silu_conv3x3(
         gn_scale = jnp.broadcast_to(gn_scale[None, :], (b, c))
     if gn_bias.ndim == 1:
         gn_bias = jnp.broadcast_to(gn_bias[None, :], (b, c))
-    kernel = functools.partial(_kernel, groups=groups, eps=eps)
+    sb = samples_per_block
+    while b % sb:
+        sb //= 2
+    kernel = functools.partial(_kernel, groups=groups, eps=eps, sb=sb)
     return pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // sb,),
         in_specs=[
-            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((sb, h, w, c), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, h, w, c_out), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((sb, h, w, c_out), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, c_out), x.dtype),
         interpret=interpret,
