@@ -20,12 +20,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from adm_tpu.nn.pallas.groupnorm import _group_stats
+from adm_tpu.nn.pallas.groupnorm import _group_matrix
 
 Array = jax.Array
-
-
-from adm_tpu.nn.pallas.groupnorm import _group_matrix
 
 
 def _kernel(x_ref, scale_ref, bias_ref, w_ref, cb_ref, o_ref, *,
@@ -35,27 +32,39 @@ def _kernel(x_ref, scale_ref, bias_ref, w_ref, cb_ref, o_ref, *,
     _, h, w, c = x_ref.shape
     c_out = o_ref.shape[-1]
     hw = h * w
-    x32 = x_ref[:].reshape(sb, hw, c).astype(jnp.float32)
+    x = x_ref[:].reshape(sb, hw, c)
 
-    # per-sample group statistics, all lane-aligned:
+    # per-sample group statistics, all lane-aligned; fp32 reductions over
+    # the bf16 block WITHOUT materializing an fp32 copy (VMEM budget)
     m = _group_matrix(c, groups)  # (C, G)
     n = hw * (c // groups)
-    ch_sum = jnp.sum(x32, axis=1)  # (sb, C)
-    ch_sq = jnp.sum(x32 * x32, axis=1)
+    ch_sum = jnp.sum(x, axis=1, dtype=jnp.float32)  # (sb, C)
+    ch_sq = jnp.sum(
+        x.astype(jnp.float32) * x.astype(jnp.float32), axis=1,
+        dtype=jnp.float32,
+    )
     g_mean = jnp.dot(ch_sum, m, preferred_element_type=jnp.float32) / n
     g_sq = jnp.dot(ch_sq, m, preferred_element_type=jnp.float32) / n
     mean_c = jnp.dot(g_mean, m.T, preferred_element_type=jnp.float32)  # (sb, C)
     var_c = jnp.dot(g_sq, m.T, preferred_element_type=jnp.float32) - mean_c**2
     rstd_c = jax.lax.rsqrt(var_c + eps)
 
-    scale = scale_ref[pl.ds(i * sb, sb)].astype(jnp.float32)  # (sb, C)
-    bias = bias_ref[pl.ds(i * sb, sb)].astype(jnp.float32)
-    z = (x32 - mean_c[:, None, :]) * rstd_c[:, None, :]
-    z = z * scale[:, None, :] + bias[:, None, :]
-    act = (z * jax.nn.sigmoid(z)).astype(jnp.bfloat16).reshape(sb, h, w, c)
-    # zero-pad each sample spatially (static pad; Mosaic lacks
-    # dynamic_update_slice)
-    pad = jnp.pad(act, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    scale = scale_ref[0].astype(jnp.float32)  # (sb, C)
+    bias = bias_ref[0].astype(jnp.float32)
+    # fold GN affine into one multiply-add: z = x*a + b. The sigmoid runs on
+    # a 2D fp32 view — Mosaic miscompiles bf16 3D logistic (verified bug:
+    # f32 scalar broadcast into a bf16 vector).
+    a = (rstd_c * scale)[:, None, :].astype(x.dtype)
+    bb = (bias - mean_c * rstd_c * scale)[:, None, :].astype(x.dtype)
+    z32 = (x * a + bb).reshape(sb * hw, c).astype(jnp.float32)
+    act = (z32 * jax.nn.sigmoid(z32)).astype(x.dtype).reshape(sb, h, w, c)
+    # zero-pad each sample spatially via typed concatenates (Mosaic lacks
+    # dynamic_update_slice, and jnp.pad's f32 constant trips a bf16
+    # broadcast verification bug)
+    zrow = jnp.zeros((sb, 1, w, c), act.dtype)
+    pad = jnp.concatenate([zrow, act, zrow], axis=1)
+    zcol = jnp.zeros((sb, h + 2, 1, c), act.dtype)
+    pad = jnp.concatenate([zcol, pad, zcol], axis=2)
 
     acc = jnp.zeros((sb * hw, c_out), jnp.float32)
     for dy in range(3):
@@ -81,7 +90,7 @@ def fused_gn_silu_conv3x3(
     groups: int = 32,
     eps: float = 1e-5,
     interpret: bool = False,
-    samples_per_block: int = 8,
+    samples_per_block: int = 4,
 ) -> Array:
     """conv3x3(silu(groupnorm(x)*scale+bias)) in one pass. NHWC, SAME pad.
 
@@ -99,6 +108,10 @@ def fused_gn_silu_conv3x3(
     sb = samples_per_block
     while b % sb:
         sb //= 2
+    # per-program affine rows as (B//sb, sb, C) blocks (Mosaic rejects
+    # dynamic row loads from a full VMEM array)
+    gn_scale = gn_scale.reshape(b // sb, sb, c)
+    gn_bias = gn_bias.reshape(b // sb, sb, c)
     kernel = functools.partial(_kernel, groups=groups, eps=eps, sb=sb)
     return pl.pallas_call(
         kernel,
@@ -106,8 +119,10 @@ def fused_gn_silu_conv3x3(
         in_specs=[
             pl.BlockSpec((sb, h, w, c), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sb, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sb, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
