@@ -158,6 +158,40 @@ def run_training(args, *, conditional: bool, latent: bool):
         path = str(tr.results_folder / f"sample-{milestone}.png")
         save_image_grid(np.asarray(imgs), path, nrow=max(nrow, 1))
         log.info("wrote %s", path)
+        # in-train FID (reference test_in_train + sample_test,
+        # train_uncond_dpm.py:331-365), on-device instead of the fidelity CLI
+        sampler_cfg = cfg.get("sampler", {})
+        if sampler_cfg.get("test_in_train") and sampler_cfg.get("target_path"):
+            _fid_milestone(tr, milestone, model, sampler_cfg, fs_params, latent)
+
+    def _fid_milestone(tr, milestone, model, sampler_cfg, fs_params, latent):
+        import json
+        import os
+
+        try:
+            from adm_tpu.metrics.metric import calculate_metrics
+
+            n = int(sampler_cfg.get("sample_num", 1000))
+            bs = int(sampler_cfg.get("batch_size", 64))
+            kwargs = dict(fs_params=fs_params) if latent else {}
+            frames = []
+            for i in range(max(n // bs, 1)):
+                imgs = model.sample(
+                    tr.state.ema_params, jax.random.PRNGKey(i), batch_size=bs,
+                    **kwargs,
+                )
+                frames.append(
+                    (np.asarray(imgs) * 255).clip(0, 255).astype(np.uint8)
+                )
+            res = calculate_metrics(
+                np.concatenate(frames), sampler_cfg["target_path"], fid=True
+            )
+            log.info("milestone %s FID: %.4f", milestone,
+                     res["frechet_inception_distance"])
+            with open(tr.results_folder / f"result_{milestone}.json", "w") as f:
+                json.dump(res, f)
+        except FileNotFoundError as e:
+            log.warning("in-train FID skipped: %s", e)
 
     if train_cfg.get("test_before", False):
         sample_fn(trainer, f"init-{model_cfg.get('sampling_timesteps', 10)}")

@@ -42,6 +42,36 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def assert_shape(x, shape) -> None:
+    """Shape guard (torch_utils/misc.py:96 equivalent); None = any size."""
+    if x.ndim != len(shape):
+        raise AssertionError(f"rank {x.ndim} != expected {len(shape)}")
+    for i, (a, b) in enumerate(zip(x.shape, shape)):
+        if b is not None and a != b:
+            raise AssertionError(f"dim {i}: {a} != expected {b} (shape {x.shape})")
+
+
+def check_replication_consistency(tree, atol: float = 0.0) -> None:
+    """Verify replicated params are bitwise-identical on every device —
+    the GSPMD analogue of check_ddp_consistency (torch_utils/misc.py:195-209).
+    """
+    import numpy as np
+
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        if not hasattr(leaf, "addressable_shards"):
+            continue
+        shards = leaf.addressable_shards
+        if len(shards) < 2:
+            continue
+        ref = np.asarray(shards[0].data)
+        for s in shards[1:]:
+            if not np.allclose(ref, np.asarray(s.data), atol=atol, rtol=0):
+                name = "/".join(str(getattr(p, "key", p)) for p in path)
+                raise AssertionError(
+                    f"replicated leaf '{name}' differs across devices"
+                )
+
+
 def shard_batch(mesh: Mesh, batch):
     """Place a host batch dict onto the mesh, batch-axis sharded.
 
