@@ -148,10 +148,31 @@ class Conv2d(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, *, params_only: bool = False):
+        """params_only=True materializes (kernel, bias) without computing
+        (fused-kernel path; x supplies the input channel count)."""
         assert not (self.up and self.down)
         in_ch = x.shape[-1]
         x = x.astype(self.dtype)
+
+        if params_only:
+            fan = in_ch * self.kernel * self.kernel
+            fan_out = self.features * self.kernel * self.kernel
+            w = self.param(
+                "kernel",
+                scaled_init(self.init_mode, self.init_weight, fan, fan_out),
+                (self.kernel, self.kernel, in_ch, self.features),
+            )
+            b = (
+                self.param(
+                    "bias",
+                    scaled_init(self.init_mode, self.init_bias, fan, fan_out),
+                    (self.features,),
+                )
+                if self.use_bias
+                else jnp.zeros((self.features,), jnp.float32)
+            )
+            return w, b
 
         w = None
         if self.kernel:
@@ -247,12 +268,20 @@ class GroupNorm(nn.Module):
     eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
 
+    def n_groups(self, c: int) -> int:
+        return min(self.num_groups, max(c // self.min_channels_per_group, 1))
+
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, *, params_only: bool = False):
+        """params_only=True materializes (scale, bias) without computing —
+        parent modules feed them into fused Pallas kernels under the same
+        parameter names."""
         c = x.shape[-1]
-        groups = min(self.num_groups, max(c // self.min_channels_per_group, 1))
+        groups = self.n_groups(c)
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
+        if params_only:
+            return scale, bias
         b, h, w_, _ = x.shape
         xg = x.reshape(b, h, w_, groups, c // groups)
         # statistics in fp32, normalization arithmetic in the compute dtype —
@@ -347,6 +376,9 @@ class UNetBlock(nn.Module):
     init_bias: float = 0.0
     init_attn_weight: Optional[float] = None
     use_flash_attention: bool = False
+    # fuse GN->SiLU->conv3x3 chains into one Pallas pass (inference path;
+    # dropout must be inactive for the second chain)
+    use_fused_block: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -378,8 +410,8 @@ class UNetBlock(nn.Module):
         )
 
         orig = x
-        x = GroupNorm(eps=self.eps, dtype=self.dtype, name="norm0")(x)
-        x = Conv2d(
+        norm0 = GroupNorm(eps=self.eps, dtype=self.dtype, name="norm0")
+        conv0 = Conv2d(
             self.out_channels,
             kernel=3,
             up=self.up,
@@ -388,7 +420,19 @@ class UNetBlock(nn.Module):
             dtype=self.dtype,
             name="conv0",
             **init,
-        )(jax.nn.silu(x))
+        )
+        fuse0 = self.use_fused_block and not self.up and not self.down
+        if fuse0:
+            from adm_tpu.nn.pallas.fused_block import fused_gn_silu_conv3x3
+
+            g_scale, g_bias = norm0(x, params_only=True)
+            wk, wb = conv0(x, params_only=True)
+            x = fused_gn_silu_conv3x3(
+                x, g_scale, g_bias, wk, wb,
+                groups=norm0.n_groups(in_ch), eps=self.eps,
+            )
+        else:
+            x = conv0(jax.nn.silu(norm0(x)))
 
         params = Linear(
             self.out_channels * (2 if self.adaptive_scale else 1),
@@ -396,16 +440,38 @@ class UNetBlock(nn.Module):
             name="affine",
             **init,
         )(emb)
-        params = params[:, None, None, :]
         x_norm = GroupNorm(eps=self.eps, dtype=self.dtype, name="norm1")
-        if self.adaptive_scale:
-            scale, shift = jnp.split(params, 2, axis=-1)
-            x = jax.nn.silu(shift + x_norm(x) * (scale + 1))
-        else:
-            x = jax.nn.silu(x_norm(x + params))
+        conv1 = Conv2d(
+            self.out_channels, kernel=3, dtype=self.dtype, name="conv1", **init_zero
+        )
+        fuse1 = (
+            self.use_fused_block
+            and self.adaptive_scale
+            and (deterministic or self.dropout == 0.0)
+        )
+        if fuse1:
+            from adm_tpu.nn.pallas.fused_block import fused_gn_silu_conv3x3
 
-        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
-        x = Conv2d(self.out_channels, kernel=3, dtype=self.dtype, name="conv1", **init_zero)(x)
+            g_scale, g_bias = x_norm(x, params_only=True)
+            wk, wb = conv1(x, params_only=True)
+            scale, shift = jnp.split(params, 2, axis=-1)  # (B, C)
+            eff_scale = g_scale[None, :] * (scale.astype(jnp.float32) + 1)
+            eff_bias = g_bias[None, :] * (
+                scale.astype(jnp.float32) + 1
+            ) + shift.astype(jnp.float32)
+            x = fused_gn_silu_conv3x3(
+                x, eff_scale, eff_bias, wk, wb,
+                groups=x_norm.n_groups(x.shape[-1]), eps=self.eps,
+            )
+        else:
+            params_b = params[:, None, None, :]
+            if self.adaptive_scale:
+                scale, shift = jnp.split(params_b, 2, axis=-1)
+                x = jax.nn.silu(shift + x_norm(x) * (scale + 1))
+            else:
+                x = jax.nn.silu(x_norm(x + params_b))
+            x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+            x = conv1(x)
 
         if self.out_channels != in_ch or self.up or self.down:
             kernel = 1 if self.resample_proj or self.out_channels != in_ch else 0

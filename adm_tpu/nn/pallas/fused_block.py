@@ -97,7 +97,8 @@ def fused_gn_silu_conv3x3(
     gn_scale/gn_bias: (C,) or per-sample (B, C) — the adaptive scale/shift
     path folds in exactly as in fused_groupnorm_silu. samples_per_block
     batches several samples into each program for bigger MXU matmuls
-    (VMEM budget: sb * (in + out + padded act) — 8 fits 32x32x192..384).
+    (VMEM budget: sb * (in + out + padded act + fp32 views); 2 fits the
+    16 MB scoped limit inside a full UNet graph).
     """
     b, h, w, c = x.shape
     c_out = conv_kernel.shape[-1]
@@ -105,7 +106,14 @@ def fused_gn_silu_conv3x3(
         gn_scale = jnp.broadcast_to(gn_scale[None, :], (b, c))
     if gn_bias.ndim == 1:
         gn_bias = jnp.broadcast_to(gn_bias[None, :], (b, c))
+    # auto-scale samples-per-block to the ~16MB scoped VMEM budget: per
+    # sample the kernel holds pipelined in/out blocks, the padded bf16
+    # activation, one fp32 view and the fp32 accumulator (coarse estimate)
+    est = h * w * (10 * c + 8 * c_out)
+    budget = 11 * 1024 * 1024
     sb = samples_per_block
+    while sb > 1 and sb * est > budget:
+        sb //= 2
     while b % sb:
         sb //= 2
     # per-program affine rows as (B//sb, sb, C) blocks (Mosaic rejects

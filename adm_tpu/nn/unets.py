@@ -76,6 +76,7 @@ class DhariwalUNet(nn.Module):
     n_decoders: int = 2
     skip_tuning: bool = False
     use_flash_attention: bool = False
+    use_fused_block: bool = False
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -108,6 +109,7 @@ class DhariwalUNet(nn.Module):
             init_weight=math.sqrt(1 / 3),
             init_bias=math.sqrt(1 / 3),
             use_flash_attention=self.use_flash_attention,
+            use_fused_block=self.use_fused_block,
             dtype=self.dtype,
         )
 
@@ -240,6 +242,7 @@ class SongUNet(nn.Module):
     n_decoders: int = 2
     skip_tuning: bool = False
     use_flash_attention: bool = False
+    use_fused_block: bool = False
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -275,6 +278,7 @@ class SongUNet(nn.Module):
             init_bias=0.0,
             init_attn_weight=math.sqrt(0.2),
             use_flash_attention=self.use_flash_attention,
+            use_fused_block=self.use_fused_block,
             dtype=self.dtype,
         )
 
