@@ -18,7 +18,7 @@ import jax
 import numpy as np
 
 from adm_tpu.train.state import TrainState
-from adm_tpu.train.trainer import Trainer, make_optimizer
+from adm_tpu.train.trainer import make_optimizer
 from adm_tpu.utils.config import build_model, load_conf
 from adm_tpu.utils.image import save_image
 

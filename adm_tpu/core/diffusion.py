@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from adm_tpu.core import sampling
-from adm_tpu.core.processes import LinearProcess, bcast_right, get_process
+from adm_tpu.core.processes import get_process
 
 Array = jax.Array
 PerceptualFn = Callable[[Array, Array], Array]  # (x, y) -> (B,) distance

@@ -8,7 +8,7 @@ y1 = max(y2 - h_crop, 0) logic), so the per-crop sampler compiles once.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ are trainable unless frozen via fix_bb.
 
 from __future__ import annotations
 
-import math
 from typing import Sequence, Tuple
 
 import flax.linen as nn

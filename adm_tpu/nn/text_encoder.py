@@ -15,7 +15,7 @@ to per-scale CondAttention. We provide:
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax

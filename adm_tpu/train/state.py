@@ -13,7 +13,7 @@ applied every `update_every` steps, with copy-through before
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.struct
 import jax

@@ -17,7 +17,6 @@ import logging
 import math
 import os
 import time
-from functools import partial
 from pathlib import Path
 from typing import Any, Callable, Dict, Iterator, Optional
 
