@@ -239,6 +239,7 @@ class SongUNet(nn.Module):
     encoder_type: str = "residual"  # 'standard' | 'skip' | 'residual'
     decoder_type: str = "standard"  # 'standard' | 'skip'
     resample_filter: Sequence[float] = (1, 3, 3, 1)
+    out_mul: int = 1  # drift-head channel multiplier (linear process K||C)
     n_decoders: int = 2
     skip_tuning: bool = False
     use_flash_attention: bool = False
@@ -434,8 +435,9 @@ class SongUNet(nn.Module):
                     tmp = GroupNorm(
                         eps=1e-6, dtype=self.dtype, name=f"dec{suffix}_{res}_aux_norm"
                     )(h)
+                    out_ch = self.out_channels * (self.out_mul if d == 0 else 1)
                     tmp = Conv2d(
-                        self.out_channels,
+                        out_ch,
                         kernel=3,
                         dtype=self.dtype,
                         name=f"dec{suffix}_{res}_aux_conv",
