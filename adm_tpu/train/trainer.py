@@ -223,6 +223,27 @@ class Trainer:
         with ocp.StandardCheckpointer() as ckptr:
             self.state = ckptr.restore(self._ckpt_dir(milestone), self.state)
 
+    # -- evaluation --------------------------------------------------------
+    def evaluate(self, data_iter, n_batches: int = 10, use_ema: bool = True):
+        """Mean validation loss over n_batches (the reference fork's
+        validation_step capability, ddm/ddm_const.py:676-693)."""
+        weights = self.state.ema_params if use_ema else self.state.params
+        eval_step = jax.jit(
+            lambda p, b, k: self.model.training_step(p, b, k, train=False)
+            if self.fs_params is None
+            else self.model.training_step(
+                p, b, k, train=False, fs_params=self.fs_params
+            )
+        )
+        losses = []
+        for i in range(n_batches):
+            batch = shard_batch(self.mesh, next(data_iter))
+            loss, _ = eval_step(weights, batch, jax.random.PRNGKey(i))
+            losses.append(float(loss))
+        mean = float(np.mean(losses))
+        log.info("eval over %d batches: loss=%.4f", n_batches, mean)
+        return mean
+
     # -- loop ------------------------------------------------------------
     def train(self, num_steps: Optional[int] = None, sample_fn: Optional[Callable] = None):
         total = num_steps or self.train_num_steps

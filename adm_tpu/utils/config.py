@@ -52,6 +52,10 @@ _MODEL_KWARG_KEYS = (
     "dropout",
     "label_dropout",
     "augment_dim",
+    # TPU perf knobs (adm_tpu extensions, default off)
+    "use_flash_attention",
+    "use_fused_block",
+    "remat",
 )
 _SONG_KWARG_KEYS = (
     "embedding_type",
