@@ -209,13 +209,23 @@ class SwinBackbone(nn.Module):
 
 
 class _GNorm(nn.Module):
-    """GroupNorm stand-in for BatchNorm (stateless, TPU-friendly); the
-    reference uses BatchNorm2d — weight conversion maps BN affine params."""
+    """Backbone norm. mode='gn' (default): stateless GroupNorm, the right
+    choice when training from scratch on TPU. mode='frozen_bn': per-channel
+    affine with BN running statistics FOLDED in (scale=w/sqrt(var+eps),
+    bias=b-mean*scale) — exact BatchNorm2d inference for converted
+    torchvision weights (fold with utils.torch_convert.fold_batchnorm)."""
+
+    mode: str = "gn"
 
     @nn.compact
     def __call__(self, x):
+        c = x.shape[-1]
+        if self.mode == "frozen_bn":
+            scale = self.param("scale", nn.initializers.ones, (c,))
+            bias = self.param("bias", nn.initializers.zeros, (c,))
+            return x * scale.astype(x.dtype) + bias.astype(x.dtype)
         g = 32
-        while x.shape[-1] % g:
+        while c % g:
             g //= 2
         return nn.GroupNorm(num_groups=g, dtype=jnp.float32)(x).astype(x.dtype)
 
@@ -223,25 +233,26 @@ class _GNorm(nn.Module):
 class Bottleneck(nn.Module):
     features: int
     stride: int = 1
+    norm_mode: str = "gn"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         out = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(x)
-        out = jax.nn.relu(_GNorm()(out))
+        out = jax.nn.relu(_GNorm(self.norm_mode)(out))
         out = nn.Conv(
             self.features, (3, 3), strides=(self.stride, self.stride), padding=1,
             use_bias=False, dtype=self.dtype,
         )(out)
-        out = jax.nn.relu(_GNorm()(out))
+        out = jax.nn.relu(_GNorm(self.norm_mode)(out))
         out = nn.Conv(self.features * 4, (1, 1), use_bias=False, dtype=self.dtype)(out)
-        out = _GNorm()(out)
+        out = _GNorm(self.norm_mode)(out)
         if x.shape[-1] != self.features * 4 or self.stride != 1:
             x = nn.Conv(
                 self.features * 4, (1, 1), strides=(self.stride, self.stride),
                 use_bias=False, dtype=self.dtype,
             )(x)
-            x = _GNorm()(x)
+            x = _GNorm(self.norm_mode)(x)
         return jax.nn.relu(out + x)
 
 
@@ -250,6 +261,7 @@ class ResNetBackbone(nn.Module):
 
     blocks: Sequence[int] = (3, 4, 23, 3)
     in_channels: int = 3
+    norm_mode: str = "gn"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -257,14 +269,14 @@ class ResNetBackbone(nn.Module):
         x = nn.Conv(
             64, (7, 7), strides=(2, 2), padding=3, use_bias=False, dtype=self.dtype
         )(x.astype(self.dtype))
-        x = jax.nn.relu(_GNorm()(x))
+        x = jax.nn.relu(_GNorm(self.norm_mode)(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         feats = []
         width = 64
         for stage, n in enumerate(self.blocks):
             for blk in range(n):
                 stride = 2 if (stage > 0 and blk == 0) else 1
-                x = Bottleneck(width, stride=stride, dtype=self.dtype)(x)
+                x = Bottleneck(width, stride=stride, norm_mode=self.norm_mode, dtype=self.dtype)(x)
             feats.append(x)
             width *= 2
         return tuple(feats)
@@ -294,6 +306,7 @@ class MBConv(nn.Module):
     kernel: int = 3
     stride: int = 1
     se_ratio: float = 0.25
+    norm_mode: str = "gn"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -303,16 +316,16 @@ class MBConv(nn.Module):
         mid = in_ch * self.expand
         if self.expand != 1:
             h = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype)(h)
-            h = jax.nn.silu(_GNorm()(h))
+            h = jax.nn.silu(_GNorm(self.norm_mode)(h))
         pad = self.kernel // 2
         h = nn.Conv(
             mid, (self.kernel, self.kernel), strides=(self.stride, self.stride),
             padding=pad, feature_group_count=mid, use_bias=False, dtype=self.dtype,
         )(h)
-        h = jax.nn.silu(_GNorm()(h))
+        h = jax.nn.silu(_GNorm(self.norm_mode)(h))
         h = SqueezeExcite(max(1, int(in_ch * self.se_ratio)), dtype=self.dtype)(h)
         h = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(h)
-        h = _GNorm()(h)
+        h = _GNorm(self.norm_mode)(h)
         if self.stride == 1 and in_ch == self.features:
             h = h + x
         return h
@@ -333,6 +346,7 @@ class EfficientNetBackbone(nn.Module):
     )
     taps: Sequence[int] = (1, 2, 4, 6)
     in_channels: int = 3
+    norm_mode: str = "gn"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -340,7 +354,7 @@ class EfficientNetBackbone(nn.Module):
         x = nn.Conv(
             64, (3, 3), strides=(2, 2), padding=1, use_bias=False, dtype=self.dtype
         )(x.astype(self.dtype))
-        x = jax.nn.silu(_GNorm()(x))
+        x = jax.nn.silu(_GNorm(self.norm_mode)(x))
         feats = []
         for si, (f, depth, stride, k) in enumerate(self.stages):
             for bi in range(depth):
@@ -349,6 +363,7 @@ class EfficientNetBackbone(nn.Module):
                     expand=1 if si == 0 else 6,
                     kernel=k,
                     stride=stride if bi == 0 else 1,
+                    norm_mode=self.norm_mode,
                     dtype=self.dtype,
                 )(x)
             if si in self.taps:

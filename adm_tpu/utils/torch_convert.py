@@ -80,6 +80,18 @@ def _convert_spatial_att(sd: Dict, prefix: str) -> Dict:
     }
 
 
+def fold_batchnorm(sd: Dict, prefix: str, eps: float = 1e-5) -> Dict:
+    """BatchNorm2d running stats + affine -> frozen per-channel affine
+    (scale = w/sqrt(var+eps), bias = b - mean*scale) for the backbones'
+    norm_mode='frozen_bn' (exact BN inference)."""
+    w = np.asarray(sd[f"{prefix}.weight"])
+    b = np.asarray(sd[f"{prefix}.bias"])
+    mean = np.asarray(sd[f"{prefix}.running_mean"])
+    var = np.asarray(sd[f"{prefix}.running_var"])
+    scale = w / np.sqrt(var + eps)
+    return {"scale": scale, "bias": b - mean * scale}
+
+
 def convert_autoencoder_kl(sd: Dict) -> Dict:
     """Reference AutoencoderKL state_dict (ddm/encoder_decoder.py:894, also
     CompVis kl-f* checkpoints under their 'state_dict' key) -> flax params
