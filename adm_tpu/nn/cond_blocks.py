@@ -243,6 +243,34 @@ def _bilinear_resize(x: Array, size: Tuple[int, int]) -> Array:
     return jax.image.resize(x, (x.shape[0], *size, x.shape[-1]), method="bilinear")
 
 
+def _bilinear_align_corners(x: Array, size: Tuple[int, int]) -> Array:
+    """torch F.interpolate(..., align_corners=True) semantics:
+    src = dst * (in-1)/(out-1) (jax.image.resize only does half-pixel)."""
+    b, h, w, c = x.shape
+    oh, ow = size
+    if (h, w) == (oh, ow):
+        return x
+
+    def coords(out_n, in_n):
+        if out_n == 1:
+            src = jnp.zeros((1,), jnp.float32)
+        else:
+            src = jnp.arange(out_n, dtype=jnp.float32) * ((in_n - 1) / (out_n - 1))
+        i0 = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, in_n - 1)
+        i1 = jnp.minimum(i0 + 1, in_n - 1)
+        return i0, i1, (src - i0)
+
+    y0, y1, fy = coords(oh, h)
+    x0, x1, fx = coords(ow, w)
+    top = x[:, y0][:, :, x0] * (1 - fx)[None, None, :, None] + x[:, y0][
+        :, :, x1
+    ] * fx[None, None, :, None]
+    bot = x[:, y1][:, :, x0] * (1 - fx)[None, None, :, None] + x[:, y1][
+        :, :, x1
+    ] * fx[None, None, :, None]
+    return top * (1 - fy)[None, :, None, None] + bot * fy[None, :, None, None]
+
+
 class _BatchStatsNorm(nn.Module):
     """BatchNorm in training mode (RelationNet input convs use
     BatchNorm2d(momentum=0.03); discriminator-style batch statistics)."""
@@ -279,14 +307,16 @@ class BasicAttentionLayer(nn.Module):
         _, h2, w2, _ = x2.shape
         ws1, ws2 = self.window_size1, self.window_size2
 
-        fused = jnp.concatenate([_bilinear_resize(x1, (h2, w2)), x2], axis=-1)
+        fused = jnp.concatenate(
+            [_bilinear_align_corners(x1, (h2, w2)), x2], axis=-1
+        )
         shortcut = x2 + nn.Conv(
             self.embed_dim, (1, 1), dtype=self.dtype, name="concat_conv"
         )(fused)
         g = min(8, self.embed_dim)
-        shortcut = nn.GroupNorm(num_groups=g, dtype=jnp.float32, name="gn")(
-            shortcut
-        ).astype(x2.dtype)
+        shortcut = nn.GroupNorm(
+            num_groups=g, epsilon=1e-5, dtype=jnp.float32, name="gn"
+        )(shortcut).astype(x2.dtype)
 
         def pad_to(x, ws):
             ph = (ws[0] - x.shape[1] % ws[0]) % ws[0]
@@ -324,7 +354,7 @@ class BasicAttentionLayer(nn.Module):
             jax.nn.relu(y)
         )
         x1_s = x1_s + y
-        x1_s = _bilinear_resize(x1_s, (h2, w2))
+        x1_s = _bilinear_align_corners(x1_s, (h2, w2))
         return shortcut + nn.Conv(
             self.embed_dim, (1, 1), dtype=self.dtype, name="out_conv"
         )(x1_s)
