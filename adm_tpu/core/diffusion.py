@@ -206,11 +206,20 @@ class DDPM:
     def training_step(
         self, params: Any, batch: Dict[str, Array], key: Array, *, train: bool = True
     ) -> Tuple[Array, Dict[str, Array]]:
-        """t ~ U(eps, 1) then p_losses (reference ddm/ddm_const_2.py:157-170)."""
+        """t ~ U(eps, 1) then p_losses (reference ddm/ddm_const_2.py:157-170).
+
+        The residual process diffuses x - ref where ref comes from the batch
+        ('ref' key, falling back to the conditioning image — reference
+        ddm/ddm_res.py:839-843,744-753)."""
         x = batch["image"]
         cond = batch.get("cond")
         if self.scale_input != 1.0:
             x = x * self.scale_input
+        if self.process_name == "res":
+            ref = batch.get("ref", cond)
+            if ref is None:
+                raise ValueError("residual process needs batch['ref'] or ['cond']")
+            x = x - ref
         k_t, k_p = jax.random.split(key)
         t = (
             jax.random.uniform(k_t, (x.shape[0],), jnp.float32) * (1.0 - self.eps)
@@ -234,12 +243,26 @@ class DDPM:
         *,
         unnormalize: bool = True,
         init_noise: Optional[Array] = None,
+        ref: Optional[Array] = None,
     ) -> Array:
         h, w = self.image_size
         if cond is not None:
             batch_size = cond.shape[0]
         shape = (batch_size, h, w, self.channels)
         fn = self._model_fn(params, cond)
+        if self.process_name == "res":
+            # sample the residual, then reconstruct ref + residual
+            # (reference ddm/ddm_res.py:846+,953-969)
+            ref = ref if ref is not None else cond
+            if ref is None:
+                raise ValueError("residual sampling needs ref (or cond)")
+            res = sampling.sample_deterministic(
+                self.process, fn, shape, key, self.sampling_timesteps,
+                clip_x_start=self.clip_x_start, scale_input=self.scale_input,
+                unnormalize=False, final_clip=False, init_noise=init_noise,
+            )
+            img = jnp.clip(ref + res, -1.0, 1.0)
+            return sampling.unnormalize_to_zero_to_one(img) if unnormalize else img
         if self.sample_type == "deterministic":
             return sampling.sample_deterministic(
                 self.process,
