@@ -46,6 +46,7 @@ class ByteTokenizer:
 class _ResidualAttentionBlock(nn.Module):
     width: int
     heads: int
+    act: str = "gelu"  # OpenAI CLIP weights need 'quick_gelu'
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -67,10 +68,60 @@ class _ResidualAttentionBlock(nn.Module):
         x = x + nn.Dense(c, dtype=self.dtype, name="attn_out")(o)
         y = nn.LayerNorm(dtype=jnp.float32, name="ln_2")(x).astype(x.dtype)
         y = nn.Dense(4 * c, dtype=self.dtype, name="mlp_fc")(y)
-        y = nn.Dense(c, dtype=self.dtype, name="mlp_proj")(
-            jax.nn.gelu(y, approximate=False)
-        )
+        if self.act == "quick_gelu":
+            y = y * jax.nn.sigmoid(1.702 * y)
+        else:
+            y = jax.nn.gelu(y, approximate=False)
+        y = nn.Dense(c, dtype=self.dtype, name="mlp_proj")(y)
         return x + y
+
+
+def convert_clip_text(sd) -> dict:
+    """OpenAI CLIP state_dict (text tower keys) -> CLIPTextEncoder params.
+
+    Handles both raw CLIP checkpoints (token_embedding.weight,
+    positional_embedding, transformer.resblocks.N.*, ln_final.*,
+    text_projection) and prefixed variants. in_proj_weight packs q|k|v.
+    """
+    import numpy as np
+
+    sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+          for k, v in sd.items()}
+    # strip an optional leading 'clip.' / 'model.' prefix
+    for prefix in ("clip.", "model."):
+        if any(k.startswith(prefix + "token_embedding") for k in sd):
+            sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    out = {
+        "token_embedding": {"embedding": sd["token_embedding.weight"]},
+        "positional_embedding": sd["positional_embedding"],
+        "ln_final": {"scale": sd["ln_final.weight"], "bias": sd["ln_final.bias"]},
+        "text_projection": sd["text_projection"],
+    }
+    i = 0
+    while f"transformer.resblocks.{i}.ln_1.weight" in sd:
+        p = f"transformer.resblocks.{i}"
+        out[f"resblock_{i}"] = {
+            "ln_1": {"scale": sd[f"{p}.ln_1.weight"], "bias": sd[f"{p}.ln_1.bias"]},
+            "ln_2": {"scale": sd[f"{p}.ln_2.weight"], "bias": sd[f"{p}.ln_2.bias"]},
+            "attn_qkv": {
+                "kernel": np.ascontiguousarray(sd[f"{p}.attn.in_proj_weight"].T),
+                "bias": sd[f"{p}.attn.in_proj_bias"],
+            },
+            "attn_out": {
+                "kernel": np.ascontiguousarray(sd[f"{p}.attn.out_proj.weight"].T),
+                "bias": sd[f"{p}.attn.out_proj.bias"],
+            },
+            "mlp_fc": {
+                "kernel": np.ascontiguousarray(sd[f"{p}.mlp.c_fc.weight"].T),
+                "bias": sd[f"{p}.mlp.c_fc.bias"],
+            },
+            "mlp_proj": {
+                "kernel": np.ascontiguousarray(sd[f"{p}.mlp.c_proj.weight"].T),
+                "bias": sd[f"{p}.mlp.c_proj.bias"],
+            },
+        }
+        i += 1
+    return {"params": out}
 
 
 class CLIPTextEncoder(nn.Module):
@@ -80,6 +131,7 @@ class CLIPTextEncoder(nn.Module):
     layers: int = 12
     heads: int = 8
     embed_dim: int = 512
+    act: str = "gelu"  # 'quick_gelu' for converted OpenAI CLIP weights
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -98,7 +150,8 @@ class CLIPTextEncoder(nn.Module):
         mask = jnp.triu(jnp.full((n, n), -jnp.inf), k=1)
         for i in range(self.layers):
             x = _ResidualAttentionBlock(
-                self.width, self.heads, dtype=self.dtype, name=f"resblock_{i}"
+                self.width, self.heads, act=self.act, dtype=self.dtype,
+                name=f"resblock_{i}",
             )(x, mask)
         x = nn.LayerNorm(dtype=jnp.float32, name="ln_final")(x).astype(self.dtype)
         # pool at the last (highest-index) token per sequence (CLIP eos pool)
