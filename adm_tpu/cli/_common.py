@@ -69,6 +69,9 @@ def run_training(args, *, conditional: bool, latent: bool):
     jax.config.update(
         "jax_default_prng_impl", os.environ.get("ADM_TPU_PRNG", "threefry2x32")
     )
+    from adm_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     if os.environ.get("ADM_TPU_MULTIHOST"):
         # multi-host DCN: coordinator/num_processes from the standard env
         # (replaces the reference's torch_utils/distributed.py:14-41 init)

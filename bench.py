@@ -36,6 +36,9 @@ def main():
     jax.config.update(
         "jax_default_prng_impl", os.environ.get("ADM_TPU_PRNG", "threefry2x32")
     )
+    from adm_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from adm_tpu.core.diffusion import DDPM
     from adm_tpu.parallel.mesh import (
         data_sharding,
