@@ -41,6 +41,11 @@ def _per_sample_abs(a: Array, b: Array) -> Array:
     return jnp.sum(d.reshape(d.shape[0], -1), axis=1)
 
 
+def _per_sample_abs_mean(a: Array, b: Array) -> Array:
+    d = jnp.abs(a - b)
+    return jnp.mean(d.reshape(d.shape[0], -1), axis=1)
+
+
 @dataclasses.dataclass(frozen=True)
 class DDPM:
     """Image-space decoupled diffusion (reference ddm/ddm_const_2.py:43)."""
@@ -121,6 +126,10 @@ class DDPM:
     # moves it into the decoded-image branch (reference ddm_const_2.py:248 vs
     # :575-576)
     _main_perceptual = True
+    # image-space DDPM's use_l1 term is a per-sample MEAN over pixels
+    # (ddm_const.py:345-347, ddm_const_2.py:237-240: .abs().mean([1,2,3]));
+    # only the LDM variant sums (ddm_const_2.py:562-563)
+    _l1_per_sample = staticmethod(_per_sample_abs_mean)
 
     def extra_vlb(self, x_rec, x_start, t, extras) -> Array:
         """Subclass hook for additional per-sample vlb terms."""
@@ -177,8 +186,8 @@ class DDPM:
         if self.use_l1:
             loss_simple = (
                 loss_simple
-                + w1 * _per_sample_abs(drift_pred, drift)
-                + w2 * _per_sample_abs(noise_pred, noise)
+                + w1 * self._l1_per_sample(drift_pred, drift)
+                + w2 * self._l1_per_sample(noise_pred, noise)
             ) / 2
 
         loss_vlb = jnp.zeros_like(loss_simple)
@@ -263,7 +272,10 @@ class DDPM:
             )
             img = jnp.clip(ref + res, -1.0, 1.0)
             return sampling.unnormalize_to_zero_to_one(img) if unnormalize else img
-        if self.sample_type == "deterministic":
+        if self.sample_type == "deterministic" and self.process_name != "linear":
+            # linear always routes to the stochastic/euler sampler — the
+            # reference ddm_linear ships no deterministic path
+            # (ddm/ddm_linear.py:259-271: both sample() branches are euler)
             return sampling.sample_deterministic(
                 self.process,
                 fn,
@@ -311,6 +323,8 @@ class LatentDiffusion(DDPM):
     scale_by_std: bool = True
     scale_by_softsign: bool = False
     _main_perceptual = False
+    # LDM sums the L1 term over pixels (ddm_const_2.py:562-563)
+    _l1_per_sample = staticmethod(_per_sample_abs)
     # LDM loss extras (ddm/ddm_const_2.py:566-578):
     use_disloss: bool = False
     # optional extension hook, e.g. the fork's segmentation loss
@@ -361,16 +375,20 @@ class LatentDiffusion(DDPM):
                 fs_params, jax.lax.stop_gradient(z_rec) / self.scale_factor
             )
             img_rec = jnp.clip(img_rec, -1.0, 1.0)
+            # signed sum, per the reference (ddm_const_2.py:574:
+            # (img_rec - ori_input).sum([1,2,3]) — NOT abs)
             loss_tmp = (
-                jnp.sum(jnp.abs(img_rec - x).reshape(x.shape[0], -1), axis=1)
-                * rec_weight
+                jnp.sum((img_rec - x).reshape(x.shape[0], -1), axis=1) * rec_weight
             )
             if self.perceptual_weight > 0 and self.perceptual_fn is not None:
                 loss_tmp = loss_tmp + self.perceptual_fn(img_rec, x) * rec_weight
             if self.aux_loss_fn is not None:
                 loss_tmp = loss_tmp + self.aux_loss_fn(img_rec, extras["batch"])
             if self.use_disloss:
-                vlb = vlb + specify_gradient(z_rec, jnp.mean(loss_tmp)) / z_rec.shape[0]
+                # added once per sample so the sum()/B in p_losses cancels and
+                # z_rec receives gradient mean(loss_tmp) per element — the
+                # reference's effective coefficient (ddm_const_2.py:577-580)
+                vlb = vlb + specify_gradient(z_rec, jnp.mean(loss_tmp))
         return vlb
 
     def sample(
@@ -390,7 +408,7 @@ class LatentDiffusion(DDPM):
         ratio = self.first_stage.down_ratio
         shape = (batch_size, h // ratio, w // ratio, self.channels)
         fn = self._model_fn(params, cond)
-        if self.sample_type == "deterministic":
+        if self.sample_type == "deterministic" and self.process_name != "linear":
             z = sampling.sample_deterministic(
                 self.process,
                 fn,

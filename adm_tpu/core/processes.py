@@ -140,14 +140,15 @@ class _BaseProcess:
         """One step of the deterministic (Euler/analytic) sampler.
 
         sqrt(t) family (ddm/ddm_const.py:452-456): invert at t_cur, clamp x0,
-        re-noise analytically at t_next.
+        re-noise at t_next with the PREDICTED drift:
+          x_next = x0 + C*t_next + noise*sqrt(t_next)
+        (clamping affects only x0, not the drift used to re-noise).
         """
         x0 = self.pred_x0(xt, drift, noise, t_cur)
         if clip is not None:
             x0 = jnp.clip(x0, -clip, clip)
-        drift_corr = -x0
         tn = bcast_right(t_next, xt)
-        return x0 + drift_corr * tn + self.noise_scale(tn) * noise
+        return x0 + drift * tn + self.noise_scale(tn) * noise
 
 
 @dataclasses.dataclass(frozen=True)
@@ -250,13 +251,14 @@ class LinearProcess(_BaseProcess):
         return jnp.concatenate([jnp.clip(k, -1.0, 1.0), c], axis=-1)
 
     def deterministic_step(self, xt, drift, noise, t_cur, t_next, clip=1.0):
-        x0 = self.pred_x0(xt, drift, noise, t_cur)
-        if clip is not None:
-            x0 = jnp.clip(x0, -clip, clip)
-        k, _ = self.split_kc(drift)
-        c_corr = -x0 - k / 2
-        tn = bcast_right(t_next, xt)
-        return x0 + k / 2 * tn**2 + c_corr * tn + jnp.sqrt(tn) * noise
+        """The reference ddm_linear ships NO deterministic sampler — only the
+        euler/stochastic sample_fn via pred_xtms_from_xt (ddm/ddm_linear.py:
+        273-310). Sampling a linear-process model routes to the stochastic
+        sampler (core/diffusion.py DDPM.sample); reaching this is a bug."""
+        raise NotImplementedError(
+            "linear process has no reference deterministic sampler; "
+            "use the stochastic/euler sampler"
+        )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -60,6 +60,29 @@ def test_disloss_changes_gradients(rng):
     assert diff > 0, "use_disloss must alter gradients"
 
 
+def test_disloss_gradient_magnitude(rng):
+    """The disloss term must inject exactly mean(loss_tmp) per z_rec element
+    after p_losses' sum/B — the reference's effective coefficient
+    (ddm_const_2.py:577-580: SpecifyGradient ones survive loss_vlb.sum()/B).
+
+    Isolated from the network: differentiate the extra_vlb -> p_losses-style
+    reduction w.r.t. z_rec directly.
+    """
+    from adm_tpu.core.diffusion import specify_gradient
+
+    B = 3
+    z_rec = jax.random.normal(rng, (B, 4, 4, 2))
+    g_scalar = jnp.asarray(1.7)  # stands in for mean(loss_tmp)
+
+    def loss_fn(z):
+        vlb = jnp.zeros((B,))
+        vlb = vlb + specify_gradient(z, g_scalar)  # added once per sample
+        return jnp.sum(vlb) / B
+
+    grads = jax.grad(loss_fn)(z_rec)
+    np.testing.assert_allclose(np.asarray(grads), 1.7, atol=1e-6)
+
+
 def test_aux_loss_hook(rng):
     from adm_tpu.nn.unets import EDMPrecond
     from adm_tpu.core.diffusion import LatentDiffusion

@@ -51,7 +51,7 @@ def test_reverse_full_step_lands_on_x0(name, rng):
     np.testing.assert_allclose(np.asarray(sigma), 0.0, atol=1e-5)
 
 
-@pytest.mark.parametrize("name", ["const", "const2", "linear"])
+@pytest.mark.parametrize("name", ["const", "const2"])
 def test_deterministic_step_perfect_model_reaches_x0(name, rng):
     """One deterministic step with exact (drift, noise) and t_next=0 -> x0."""
     p, x0, noise, t, drift = _setup(name, rng)
@@ -60,6 +60,15 @@ def test_deterministic_step_perfect_model_reaches_x0(name, rng):
     zero = jnp.zeros_like(t)
     x_end = p.deterministic_step(xt, drift, noise, t, zero)
     np.testing.assert_allclose(np.asarray(x_end), np.asarray(x0), atol=1e-4)
+
+
+def test_linear_deterministic_step_raises(rng):
+    """The reference ddm_linear ships no deterministic sampler
+    (ddm/ddm_linear.py:259-271) — reaching deterministic_step is a bug."""
+    p, x0, noise, t, drift = _setup("linear", rng)
+    xt = p.q_sample(x0, drift, noise, t)
+    with pytest.raises(NotImplementedError):
+        p.deterministic_step(xt, drift, noise, t, jnp.zeros_like(t))
 
 
 def test_const2_weights_golden():

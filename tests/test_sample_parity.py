@@ -40,7 +40,7 @@ def _ref_sample_fn_d(model, init_noise, n_steps, sigma_max=1.0):
         c, noise = c.to(torch.float64), noise.to(torch.float64)
         x0 = x - c * t_cur - noise * t_cur.sqrt()
         x0 = x0.clamp(-1, 1)
-        x = x0 + (-x0) * t_next + noise * t_next.sqrt()
+        x = x0 + c * t_next + noise * t_next.sqrt()
     x = x.clamp(-1, 1)
     return ((x + 1) / 2).float()
 
