@@ -261,15 +261,25 @@ class DDPM:
         fn = self._model_fn(params, cond)
         if self.process_name == "res":
             # sample the residual, then reconstruct ref + residual
-            # (reference ddm/ddm_res.py:846+,953-969)
+            # (reference ddm/ddm_res.py:846+,953-969). Both reference sampler
+            # families exist for res: sample_fn_d (euler, :407+) and
+            # sample_fn_s (quadratic grid, clamp-rebuild, :356-404).
             ref = ref if ref is not None else cond
             if ref is None:
                 raise ValueError("residual sampling needs ref (or cond)")
-            res = sampling.sample_deterministic(
-                self.process, fn, shape, key, self.sampling_timesteps,
-                clip_x_start=self.clip_x_start, scale_input=self.scale_input,
-                unnormalize=False, final_clip=False, init_noise=init_noise,
-            )
+            if self.sample_type == "deterministic":
+                res = sampling.sample_deterministic(
+                    self.process, fn, shape, key, self.sampling_timesteps,
+                    clip_x_start=self.clip_x_start, scale_input=self.scale_input,
+                    unnormalize=False, final_clip=False, init_noise=init_noise,
+                )
+            else:
+                res = sampling.sample_stochastic(
+                    self.process, fn, shape, key, self.sampling_timesteps,
+                    clip_x_start=self.clip_x_start, scale_input=self.scale_input,
+                    unnormalize=False, final_clip=False, step_grid="quadratic",
+                    start_scale=1.0,
+                )
             img = jnp.clip(ref + res, -1.0, 1.0)
             return sampling.unnormalize_to_zero_to_one(img) if unnormalize else img
         if self.sample_type == "deterministic" and self.process_name != "linear":
@@ -287,6 +297,9 @@ class DDPM:
                 unnormalize=unnormalize,
                 init_noise=init_noise,
             )
+        # image-space sample_fn_s uses the quadratic (sigma^2-linear) grid
+        # (ddm_const.py:384-388); only the linear process keeps the uniform
+        # euler grid (ddm_linear.py:275-279)
         return sampling.sample_stochastic(
             self.process,
             fn,
@@ -296,6 +309,10 @@ class DDPM:
             clip_x_start=self.clip_x_start,
             scale_input=self.scale_input,
             unnormalize=unnormalize,
+            step_grid="uniform" if self.process_name == "linear" else "quadratic",
+            # const's init-noise sigma_max scaling is commented out upstream
+            # (ddm_const.py:393-394); const2/linear keep it (ddm_const_2.py:646)
+            start_scale=1.0 if self.process_name in ("const", "res") else None,
         )
 
 
@@ -420,14 +437,34 @@ class LatentDiffusion(DDPM):
                 final_clip=False,
             )
         else:
+            # LDM stochastic correction (ddm_const_2.py:664-676): softsign
+            # first clamp-rebuilds at +-0.987654321, then BOTH paths rebuild
+            # C = -pred_x0 unclamped; the std path leaves latents unclamped
+            # at the end, softsign clamps at +-0.987654321 (:679-680)
+            proc = self.process
+            if self.process_name in ("const", "const2", "res"):
+                softsign = self.scale_by_softsign
+
+                def _ldm_correct(drift, x, noise, t):
+                    if softsign:
+                        x0 = proc.pred_x0(x, drift, noise, t)
+                        drift = -jnp.clip(x0, -0.987654321, 0.987654321)
+                    return -proc.pred_x0(x, drift, noise, t)
+
+                correct_fn = _ldm_correct
+            else:
+                correct_fn = None
             z = sampling.sample_stochastic(
                 self.process,
                 fn,
                 shape,
                 key,
                 self.sampling_timesteps,
-                clip_x_start=not self.scale_by_softsign,
+                clip_x_start=False,
                 unnormalize=False,
+                correct_fn=correct_fn,
+                final_clip=0.987654321 if self.scale_by_softsign else False,
+                start_scale=1.0,  # LDM init noise is NOT sigma_max-scaled (:655)
             )
         if self.scale_by_std:
             z = z / self.scale_factor

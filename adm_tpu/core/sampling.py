@@ -93,15 +93,28 @@ def sample_stochastic(
     unnormalize: bool = True,
     start_scale: Optional[float] = None,
     step_grid: str = "uniform",
+    correct_fn: Optional[Callable] = None,
+    final_clip: bool | float = True,
+    init_noise: Optional[Array] = None,
+    noise_seq: Optional[Array] = None,
 ) -> Array:
     """Stochastic sampler (reference `sample_fn_s`).
 
     step_grid='uniform': s = 1/n each; with `denoise` the final step splits
     into (1/n - eps, eps) (LDM variant, ddm/ddm_const_2.py:641-646).
     step_grid='quadratic': steps are the diffs of the sigma^2-linear grid
-    sigma_max^2 -> sigma_min^2 (+0) (uncond variant, ddm_const_2.py:292-298).
-    The drift is corrected each step via `process.stochastic_correct`, and
-    the very last step uses s = remaining time so the walk lands at t=0.
+    sigma_max^2 -> sigma_min^2 (+0) (image-space variant — const
+    ddm_const.py:384-388, const2 ddm_const_2.py:292-298, res
+    ddm_res.py:359-364).
+    The drift is corrected each step via `process.stochastic_correct`
+    (override with `correct_fn(drift, x, noise, t)` — the LDM variant's
+    correction differs, ddm_const_2.py:667-676), and the very last step uses
+    s = remaining time so the walk lands at t=0.
+
+    final_clip: True clamps the result at +-scale_input (image-space,
+    ddm_const.py:415-417); False skips (LDM std path leaves latents
+    unclamped); a float clamps at +-that value (LDM softsign clamps at
+    +-0.987654321, ddm_const_2.py:679-680).
     """
     if step_grid == "quadratic":
         idx = jnp.arange(n_steps, dtype=jnp.float32)
@@ -120,26 +133,50 @@ def sample_stochastic(
     batch = shape[0]
     clip = scale_input if clip_x_start else None
 
+    # `init_noise` / `noise_seq` (unit std) override the PRNG draws — the
+    # sampler's only randomness — enabling bit-matched runs against the
+    # reference torch loop (tests/test_sample_parity.py)
     key, init_key = jax.random.split(key)
     scale0 = process.sigma_max if start_scale is None else start_scale
-    x = jax.random.normal(init_key, shape, jnp.float32) * scale0
+    noise0 = (
+        init_noise
+        if init_noise is not None
+        else jax.random.normal(init_key, shape, jnp.float32)
+    )
+    x = noise0 * scale0
     cur_time = jnp.ones((batch,), jnp.float32)
 
     def body(carry, inputs):
         x, cur_time, key = carry
-        i, s_i = inputs
+        i, s_i, step_eps = inputs
         s = jnp.where(i == n_total - 1, cur_time, jnp.full_like(cur_time, s_i))
         drift, noise = model_fn(x, cur_time)
-        drift = process.stochastic_correct(drift, x, noise, cur_time, clip)
+        if correct_fn is not None:
+            drift = correct_fn(drift, x, noise, cur_time)
+        else:
+            drift = process.stochastic_correct(drift, x, noise, cur_time, clip)
         mean, sigma = process.reverse_mean_sigma(x, drift, noise, cur_time, s)
         key, eps_key = jax.random.split(key)
-        x = mean + sigma * jax.random.normal(eps_key, mean.shape, mean.dtype)
+        eps = (
+            step_eps
+            if noise_seq is not None
+            else jax.random.normal(eps_key, mean.shape, mean.dtype)
+        )
+        x = mean + sigma * eps
         return (x, cur_time - s, key), None
 
     idx = jnp.arange(n_total)
-    (x, _, _), _ = jax.lax.scan(body, (x, cur_time, key), (idx, s_steps))
+    seq = (
+        noise_seq
+        if noise_seq is not None
+        else jnp.zeros((n_total, 0), jnp.float32)  # unused placeholder
+    )
+    (x, _, _), _ = jax.lax.scan(body, (x, cur_time, key), (idx, s_steps, seq))
 
-    x = jnp.clip(x, -scale_input, scale_input)
+    if final_clip is True:
+        x = jnp.clip(x, -scale_input, scale_input)
+    elif final_clip is not False:
+        x = jnp.clip(x, -final_clip, final_clip)
     if scale_input != 1.0:
         x = x / scale_input
     if unnormalize:
