@@ -27,8 +27,17 @@ def parse_args():
     return p.parse_args()
 
 
+_DDCONFIG_KEYS = (
+    "double_z", "z_channels", "resolution", "in_channels", "out_ch", "ch",
+    "ch_mult", "num_res_blocks", "attn_resolutions", "dropout",
+)
+
+
 def build_vae(model_cfg) -> AutoencoderKL:
-    dd = dict(model_cfg["ddconfig"])
+    # filter to the supported ddconfig surface (the fork's PL config carries
+    # ldm extras like tanh_out/monitor, uncond_ddm_ldm_pl.yaml:44-48)
+    dd = {k: v for k, v in dict(model_cfg["ddconfig"]).items()
+          if k in _DDCONFIG_KEYS}
     dd["resolution"] = (
         tuple(dd["resolution"]) if isinstance(dd["resolution"], list)
         else dd["resolution"]

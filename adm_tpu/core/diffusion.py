@@ -60,6 +60,10 @@ class DDPM:
     sigma_max: float = 1.0
     weighting_loss: bool = False
     use_l1: bool = False
+    # main loss on (C, eps): 'l2' (MSE_Loss) or 'l1' (MAE_Loss), per the
+    # config's loss_main class_name (reference ddm/loss.py:292-389,
+    # reduction='sum' per sample; the depth configs train with MAE)
+    loss_main: str = "l2"
     perceptual_weight: float = 0.0
     clip_x_start: bool = True
     scale_input: float = 1.0
@@ -180,9 +184,8 @@ class DDPM:
         else:
             w1 = w2 = jnp.ones_like(t)
 
-        loss_simple = w1 * _per_sample_sq(drift_pred, drift) + w2 * _per_sample_sq(
-            noise_pred, noise
-        )
+        main = _per_sample_abs if self.loss_main == "l1" else _per_sample_sq
+        loss_simple = w1 * main(drift_pred, drift) + w2 * main(noise_pred, noise)
         if self.use_l1:
             loss_simple = (
                 loss_simple

@@ -15,6 +15,7 @@ from adm_tpu.data.paired import (
     EdgeDataset,
     InpaintDataset,
     NYUDv2DepthDataset,
+    NYUDv2DepthDataset2,
     SketchDataset,
     SRDataset,
     SRDatasetTest,
@@ -35,6 +36,7 @@ __all__ = [
     "EdgeDataset",
     "InpaintDataset",
     "NYUDv2DepthDataset",
+    "NYUDv2DepthDataset2",
     "SketchDataset",
     "SRDataset",
     "SRDatasetTest",

@@ -163,46 +163,316 @@ class SRDatasetTest(SRDataset):
         }
 
 
-class DUTSDataset(_PairedFolder):
-    """Saliency: gt mask is the diffusion target, rgb the cond
-    (ddm/data.py:953-1026)."""
+def _load_with_retry(load, index: int, n: int):
+    """Corrupt-file resilience (reference ddm/data.py:997-1004): a truncated
+    JPEG mid-run retries a random other sample instead of killing training."""
+    for _ in range(100):
+        try:
+            return load(index)
+        except (FileNotFoundError, OSError, ValueError):
+            index = int(np.random.randint(n))
+    raise RuntimeError("100 consecutive unreadable samples — check the dataset")
 
-    img_mode = "L"
-    cond_mode = "RGB"
 
-    def __init__(self, img_folder, cond_folder=None, gt_folder=None, **kwargs):
-        # reference names: img_folder=rgb, gt=masks; allow both spellings
-        cond = cond_folder or img_folder
-        gt = gt_folder or kwargs.pop("mask_folder", None)
-        if gt is None:
-            raise ValueError("DUTSDataset needs gt_folder (saliency masks)")
-        super().__init__(img_folder=gt, cond_folder=cond, **kwargs)
+def _rglob_images(folder: str, exts=(".jpg",)):
+    out = []
+    for root, _, files in os.walk(folder):
+        for f in sorted(files):
+            if f.endswith(tuple(exts)) and not f.startswith("._"):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def _paired_resize(img, cond, size):
+    return resize(img, size), resize(cond, size)
+
+
+def _paired_flip(rng_draw: float, *arrays):
+    if rng_draw < 0.5:
+        return tuple(a[:, ::-1].copy() for a in arrays)
+    return arrays
+
+
+class DUTSDataset:
+    """Saliency (ddm/data.py:953-1026): data_root/{DUTS-TR|DUTS-TE}, rgb
+    *.jpg with masks in the sibling ...Image->...Mask folder as .png.
+    Returns {'image': gt mask 1ch, 'cond': rgb, 'img_name', 'ori_size'}.
+
+    Legacy kwargs (img_folder/cond_folder/gt_folder) pair two flat folders.
+    """
+
+    _SPLIT = {"train": "DUTS-TR", "test": "DUTS-TE"}
+
+    def __init__(self, data_root=None, image_size=(384, 384),
+                 augment_horizontal_flip=False, split="train",
+                 img_folder=None, cond_folder=None, gt_folder=None, **kwargs):
+        self.image_size = tuple(image_size)
+        self.flip = augment_horizontal_flip and split == "train"
+        if data_root is not None:
+            folder = (
+                os.path.join(data_root, self._SPLIT[split])
+                if split in self._SPLIT
+                else data_root
+            )
+            self.rgb_paths = _rglob_images(folder, (".jpg",))
+            self.gt_paths = [
+                os.path.join(
+                    os.path.dirname(os.path.dirname(p)),
+                    os.path.basename(os.path.dirname(p)).replace("Image", "Mask"),
+                    os.path.basename(p).replace(".jpg", ".png"),
+                )
+                for p in self.rgb_paths
+            ]
+        else:
+            gt = gt_folder or kwargs.pop("mask_folder", None)
+            rgb = cond_folder or img_folder
+            if gt is None or rgb is None:
+                raise ValueError("DUTSDataset needs data_root or rgb+gt folders")
+            self.rgb_paths = list_images(rgb)
+            self.gt_paths = list_images(gt)
+        if not self.rgb_paths:
+            raise FileNotFoundError("no DUTS images found")
+
+    def __len__(self):
+        return len(self.rgb_paths)
+
+    def _load(self, index):
+        rgb = load_image(self.rgb_paths[index], "RGB")
+        ori = rgb.shape[:2]
+        gt = load_image(self.gt_paths[index], "L")
+        rgb, gt = _paired_resize(rgb, gt, self.image_size)
+        if self.flip:
+            rgb, gt = _paired_flip(np.random.rand(), rgb, gt)
+        return {
+            "image": to_neg_one_one(gt)[..., None],
+            "cond": to_neg_one_one(rgb),
+            "img_name": os.path.basename(self.rgb_paths[index]),
+            "ori_size": np.asarray(ori, np.int32),
+        }
 
     def __getitem__(self, index):
-        out = super().__getitem__(index)
-        out["img_name"] = os.path.basename(self.img_paths[index])
-        out["ori_size"] = np.asarray(self.image_size, np.int32)
+        return _load_with_retry(self._load, index, len(self))
+
+
+class EdgeDataset:
+    """Edge maps (ddm/data.py:724-832): rglob under data_root, 1-channel
+    edge images only ({'image': edge}); legacy img_folder(+cond_folder)
+    keeps the paired edge+rgb form used by the cond smoke tests."""
+
+    def __init__(self, data_root=None, image_size=(320, 320),
+                 augment_horizontal_flip=False, img_folder=None,
+                 cond_folder=None, **kwargs):
+        self.image_size = tuple(image_size)
+        self.flip = augment_horizontal_flip
+        root = data_root or img_folder
+        if root is None:
+            raise ValueError("EdgeDataset needs data_root or img_folder")
+        self.paths = _rglob_images(
+            root, (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+        )
+        self.cond_paths = list_images(cond_folder) if cond_folder else None
+        if not self.paths:
+            raise FileNotFoundError(f"no edge images under {root}")
+
+    def __len__(self):
+        return len(self.paths)
+
+    def _load(self, index):
+        edge = load_image(self.paths[index], "L")
+        edge = resize(edge, self.image_size)
+        out = {}
+        if self.cond_paths:
+            cond = resize(load_image(self.cond_paths[index], "RGB"),
+                          self.image_size)
+            if self.flip:
+                edge, cond = _paired_flip(np.random.rand(), edge, cond)
+            out["cond"] = to_neg_one_one(cond)
+        elif self.flip and np.random.rand() < 0.5:
+            edge = edge[:, ::-1].copy()
+        out["image"] = to_neg_one_one(edge)[..., None]
         return out
 
-
-class EdgeDataset(_PairedFolder):
-    img_mode = "L"
-
-
-class NYUDv2DepthDataset(_PairedFolder):
-    img_mode = "L"
+    def __getitem__(self, index):
+        return _load_with_retry(self._load, index, len(self))
 
 
-class SketchDataset(_PairedFolder):
-    cond_mode = "L"
+class NYUDv2DepthDataset:
+    """Depth (ddm/data.py:834-888): data_root/split, rgb_*.jpg paired with
+    sync_depth_*.png in the same folder, border crop (41,45,601,471), paired
+    RandomCrop (train), depth/10000. {'image': depth 1ch, 'cond': rgb}.
+
+    `resize_instead_of_crop` selects the Dataset2 variant (ddm/data.py:
+    889-951): paired Resize for both train and test.
+    """
+
+    resize_instead_of_crop = False
+    _CROP = (41, 45, 601, 471)  # PIL (left, upper, right, lower)
+
+    def __init__(self, data_root=None, image_size=(320, 320),
+                 augment_horizontal_flip=False, split="train",
+                 img_folder=None, cond_folder=None, **kwargs):
+        self.image_size = tuple(image_size)
+        self.split = split
+        self.flip = augment_horizontal_flip and split == "train"
+        if data_root is not None:
+            folder = (
+                os.path.join(data_root, split)
+                if split in ("train", "test")
+                else data_root
+            )
+            self.rgb_paths = _rglob_images(folder, (".jpg",))
+            self.depth_paths = [
+                os.path.join(
+                    os.path.dirname(p),
+                    os.path.basename(p)
+                    .replace("rgb_", "sync_depth_")
+                    .replace(".jpg", ".png"),
+                )
+                for p in self.rgb_paths
+            ]
+        else:
+            if img_folder is None or cond_folder is None:
+                raise ValueError("NYUD needs data_root or depth+rgb folders")
+            self.depth_paths = list_images(img_folder)
+            self.rgb_paths = list_images(cond_folder)
+        if not self.rgb_paths:
+            raise FileNotFoundError("no NYUD images found")
+
+    def __len__(self):
+        return len(self.rgb_paths)
+
+    @staticmethod
+    def _load_depth(path):
+        from PIL import Image
+
+        with Image.open(path) as im:
+            return np.asarray(im).astype(np.float32)
+
+    def _load(self, index):
+        rgb = load_image(self.rgb_paths[index], "RGB")
+        depth = self._load_depth(self.depth_paths[index])
+        left, up, right, low = self._CROP
+        if rgb.shape[0] >= low and rgb.shape[1] >= right:
+            rgb = rgb[up:low, left:right]
+            depth = depth[up:low, left:right]
+        if self.resize_instead_of_crop or self.split == "test":
+            rgb = resize(rgb, self.image_size)
+            d8 = depth  # resize via PIL float-safe path
+            from PIL import Image
+
+            d8 = np.asarray(
+                Image.fromarray(depth).resize(
+                    (self.image_size[1], self.image_size[0]), Image.BILINEAR
+                )
+            )
+            depth = d8
+        elif self.split == "train":
+            rng = np.random.RandomState(np.random.randint(2**31))
+            h, w = rgb.shape[:2]
+            th, tw = self.image_size
+            y = rng.randint(0, max(h - th, 0) + 1)
+            x = rng.randint(0, max(w - tw, 0) + 1)
+            rgb = rgb[y : y + th, x : x + tw]
+            depth = depth[y : y + th, x : x + tw]
+        if self.flip:
+            rgb, depth = _paired_flip(np.random.rand(), rgb, depth)
+        depth = depth / 10000.0
+        return {
+            "image": (depth * 2.0 - 1.0).astype(np.float32)[..., None],
+            "cond": to_neg_one_one(rgb),
+            "img_name": os.path.basename(self.rgb_paths[index]),
+        }
+
+    def __getitem__(self, index):
+        return _load_with_retry(self._load, index, len(self))
+
+
+class NYUDv2DepthDataset2(NYUDv2DepthDataset):
+    """Resize-based NYUD variant (ddm/data.py:889-951)."""
+
+    resize_instead_of_crop = True
+
+
+class SketchDataset:
+    """Sketch->image (ddm/data.py:1028-1103): rgb under data_root/GT/<split>,
+    sketch at the mirrored path under Sketch/. {'image': rgb, 'cond': sketch}.
+    """
+
+    _SPLIT = {"train": "train", "test": "val"}
+
+    def __init__(self, data_root=None, image_size=(256, 256),
+                 augment_horizontal_flip=False, split="train",
+                 img_folder=None, cond_folder=None, **kwargs):
+        self.image_size = tuple(image_size)
+        self.flip = augment_horizontal_flip and split == "train"
+        if data_root is not None:
+            folder = (
+                os.path.join(data_root, "GT", self._SPLIT[split])
+                if split in self._SPLIT
+                else data_root
+            )
+            self.rgb_paths = _rglob_images(folder, (".png",))
+            self.sketch_paths = [
+                p.replace(os.sep + "GT" + os.sep, os.sep + "Sketch" + os.sep)
+                for p in self.rgb_paths
+            ]
+        else:
+            if img_folder is None or cond_folder is None:
+                raise ValueError("Sketch needs data_root or rgb+sketch folders")
+            self.rgb_paths = list_images(img_folder)
+            self.sketch_paths = list_images(cond_folder)
+        if not self.rgb_paths:
+            raise FileNotFoundError("no sketch-gt images found")
+
+    def __len__(self):
+        return len(self.rgb_paths)
+
+    def _load(self, index):
+        rgb = load_image(self.rgb_paths[index], "RGB")
+        ori = rgb.shape[:2]
+        sk = load_image(self.sketch_paths[index], "L")
+        rgb, sk = _paired_resize(rgb, sk, self.image_size)
+        if self.flip:
+            rgb, sk = _paired_flip(np.random.rand(), rgb, sk)
+        return {
+            "image": to_neg_one_one(rgb),
+            "cond": to_neg_one_one(sk)[..., None],
+            "img_name": os.path.basename(self.rgb_paths[index]),
+            "ori_size": np.asarray(ori, np.int32),
+        }
+
+    def __getitem__(self, index):
+        return _load_with_retry(self._load, index, len(self))
 
 
 class CityscapesDataset(_PairedFolder):
-    pass
+    """Seg-conditioned (ddm/data.py:478-530): leftImg8bit/<split> images
+    with gtFine *_labelTrainIds.png masks; legacy two-folder form kept."""
+
+    def __init__(self, data_root=None, split="train", **kwargs):
+        if data_root is not None:
+            kwargs.setdefault(
+                "img_folder", os.path.join(data_root, "leftImg8bit", split)
+            )
+            kwargs.setdefault(
+                "cond_folder", os.path.join(data_root, "gtFine", split)
+            )
+        super().__init__(**kwargs)
 
 
 class ADE20KDataset(_PairedFolder):
-    pass
+    """Seg-conditioned (ddm/data.py:531-592): images/<split> +
+    annotations/<split>."""
+
+    def __init__(self, data_root=None, split="training", **kwargs):
+        if data_root is not None:
+            kwargs.setdefault(
+                "img_folder", os.path.join(data_root, "images", split)
+            )
+            kwargs.setdefault(
+                "cond_folder", os.path.join(data_root, "annotations", split)
+            )
+        super().__init__(**kwargs)
 
 
 # ---------------------------------------------------------------------------

@@ -379,6 +379,11 @@ class UNetBlock(nn.Module):
     # fuse GN->SiLU->conv3x3 chains into one Pallas pass (inference path;
     # dropout must be inactive for the second chain)
     use_fused_block: bool = False
+    # dropout masks from the TPU hardware PRNG (Pallas) — native-instruction
+    # generation + regenerate-in-backward (no mask storage/traffic); falls
+    # back to a pure-JAX mask off-TPU. Threefry mask generation measured
+    # ~13% of the flagship train step (BASELINE.md).
+    use_hw_dropout: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -470,7 +475,18 @@ class UNetBlock(nn.Module):
                 x = jax.nn.silu(shift + x_norm(x) * (scale + 1))
             else:
                 x = jax.nn.silu(x_norm(x + params_b))
-            x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+            if self.dropout > 0.0 and not deterministic:
+                if self.use_hw_dropout:
+                    from adm_tpu.nn.pallas.dropout import hw_dropout
+
+                    x = hw_dropout(
+                        x,
+                        self.make_rng("dropout"),
+                        self.dropout,
+                        jax.default_backend() not in ("tpu", "axon"),
+                    )
+                else:
+                    x = nn.Dropout(self.dropout, deterministic=False)(x)
             x = conv1(x)
 
         if self.out_channels != in_ch or self.up or self.down:

@@ -77,6 +77,7 @@ class DhariwalUNet(nn.Module):
     skip_tuning: bool = False
     use_flash_attention: bool = False
     use_fused_block: bool = False
+    use_hw_dropout: bool = True
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -110,6 +111,7 @@ class DhariwalUNet(nn.Module):
             init_bias=math.sqrt(1 / 3),
             use_flash_attention=self.use_flash_attention,
             use_fused_block=self.use_fused_block,
+            use_hw_dropout=self.use_hw_dropout,
             dtype=self.dtype,
         )
 
@@ -244,6 +246,7 @@ class SongUNet(nn.Module):
     skip_tuning: bool = False
     use_flash_attention: bool = False
     use_fused_block: bool = False
+    use_hw_dropout: bool = True
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -280,6 +283,7 @@ class SongUNet(nn.Module):
             init_attn_weight=math.sqrt(0.2),
             use_flash_attention=self.use_flash_attention,
             use_fused_block=self.use_fused_block,
+            use_hw_dropout=self.use_hw_dropout,
             dtype=self.dtype,
         )
 

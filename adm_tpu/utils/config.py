@@ -27,6 +27,17 @@ def load_conf(path: str) -> Dict[str, Any]:
         return yaml.safe_load(f)
 
 
+def is_vae_config(model_cfg: Dict[str, Any]) -> bool:
+    """True for first-stage AutoencoderKL training configs — either the
+    class_name form (reference configs/celebahq/celeb_ae_kl_256x256_d4.yaml)
+    or the edge-detection form with a bare ddconfig and no class_name
+    (configs/edge_detection/ae_kl_320x320_d4.yaml)."""
+    cn = model_cfg.get("class_name", "")
+    if cn.endswith("AutoencoderKL"):
+        return True
+    return "ddconfig" in model_cfg and not cn and "target" not in model_cfg
+
+
 # ---------------------------------------------------------------------------
 # UNet registry: reference class_name -> (variant, n_decoders, skip_tuning)
 # ---------------------------------------------------------------------------
@@ -41,6 +52,12 @@ _UNET_VARIANTS = {
     ),
     # native names
     "adm_tpu.EDMPrecond": dict(variant="const", n_decoders=2),
+    # the fork's PL config names its external adm_unet re-export of the same
+    # two-decoder EDMPrecond (uncond_ddm_ldm_pl.yaml:62 comments the in-repo
+    # unet.uncond_unet.EDMPrecond equivalence)
+    "ldm.modules.diffusionmodules.adm_unet.EDMPrecond": dict(
+        variant="const", n_decoders=2
+    ),
 }
 
 _MODEL_KWARG_KEYS = (
@@ -70,6 +87,13 @@ _COND_UNETS = {
     "unet.cond_unet.Unet": dict(n_decoders=2),
     "unet.cond_unet_sd.Unet": dict(n_decoders=1),
     "unet.text_cond_unet.Unet": dict(n_decoders=1),
+    # stale fork names with no module in the reference repo (SURVEY.md
+    # section 0) — mapped onto the live two-decoder conditional UNet, the
+    # architecture every runnable conditional config uses:
+    "unet.cond_unet2.Unet": dict(n_decoders=2),  # depth configs
+    "unet.cond_unet3.Unet": dict(n_decoders=2),  # depth LDM config
+    "unet.cond_unet5.Unet": dict(n_decoders=2),  # inpainting filenames
+    "unet.cond_unet6.Unet": dict(n_decoders=2),  # edge/sketch configs
 }
 
 _T2I_UNETS = {"unet.cond_unet_t2i.Unet"}
@@ -179,6 +203,13 @@ _PROCESS_BY_CLASS = {
     "ddm.ddm_linear.LatentDiffusion": ("linear", LatentDiffusion),
     "ddm.ddm_res.DDPM": ("res", DDPM),
     "ddm.ddm_res.LatentDiffusion": ("res", LatentDiffusion),
+    # stale fork names without modules in the reference repo (SURVEY.md
+    # section 0: "these are stale; the build targets only what exists") —
+    # mapped onto the sqrt(t)-noise const family they forked from:
+    "ddm.ddm_const3.DDPM": ("const", DDPM),
+    "ddm.ddm_const3.LatentDiffusion": ("const", LatentDiffusion),
+    "ddm.ddm_const4.DDPM": ("const", DDPM),
+    "ddm.ddm_const4.LatentDiffusion": ("const", LatentDiffusion),
 }
 
 
@@ -190,12 +221,63 @@ def build_model(
     augment_fn=None,
     dtype=jnp.float32,
 ):
-    """Construct DDPM/LatentDiffusion from the reference `model:` section."""
+    """Construct DDPM/LatentDiffusion from the reference `model:` section.
+
+    Accepts three reference conventions:
+      * `class_name:` (the live train scripts, train_uncond_dpm.py:42-47);
+      * `target:`/`params:` (the fork's PL config, uncond_ddm_ldm_pl.yaml:2-3);
+      * `model_type:`/`model_name:` (the edge-detection configs,
+        configs/edge_detection/cond_const_sde4_unet6.yaml:2-3) — model_type
+        'const_sde*' maps to the sqrt(t) const family, model_name
+        'cond_unetN' synthesizes the conditional unet class_name.
+    """
     cfg = dict(model_cfg)
-    class_name = cfg.pop("class_name")
+    if "target" in cfg and "class_name" not in cfg:
+        class_name = cfg.pop("target")
+        cfg.update(cfg.pop("params", {}))
+        cfg.pop("class_name", None)  # PL params may repeat it
+        if "first_stage_config" in cfg and "first_stage" not in cfg:
+            fs_cfg = cfg.pop("first_stage_config")
+            cfg["first_stage"] = dict(fs_cfg.get("params", fs_cfg))
+        if "unet_config" in cfg and "unet" not in cfg:
+            u_cfg = cfg.pop("unet_config")
+            unet = dict(u_cfg.get("params", u_cfg))
+            unet.setdefault("class_name", u_cfg.get("target"))
+            cfg["unet"] = unet
+    elif "class_name" not in cfg and "model_type" in cfg:
+        mt = cfg.pop("model_type")
+        if not str(mt).startswith("const"):
+            raise KeyError(f"unknown edge-style model_type '{mt}'")
+        class_name = (
+            "ddm.ddm_const.LatentDiffusion"
+            if "first_stage" in cfg
+            else "ddm.ddm_const.DDPM"
+        )
+        model_name = cfg.pop("model_name", None)
+        if model_name and "class_name" not in cfg.get("unet", {}):
+            cfg["unet"] = dict(cfg["unet"])
+            cfg["unet"]["class_name"] = f"unet.{model_name}.Unet"
+    else:
+        class_name = cfg.pop("class_name")
     if class_name not in _PROCESS_BY_CLASS:
         raise KeyError(f"unknown model class_name '{class_name}'")
     process_name, cls = _PROCESS_BY_CLASS[class_name]
+    if cls is LatentDiffusion and first_stage is None and "first_stage" not in cfg:
+        # the reference's NYUD_ddm_const4_dpm_wby.yaml declares a
+        # LatentDiffusion with NO first_stage section (its scale keys are
+        # commented out) — it is effectively the image-space DDPM
+        log.warning(
+            "%s has no first_stage section; building image-space DDPM",
+            class_name,
+        )
+        cls = DDPM
+
+    # loss_main sub-config selects the main regression loss
+    # (ddm/loss.py MSE_Loss vs MAE_Loss; depth configs use MAE)
+    loss_main = "l2"
+    lm = cfg.get("loss_main")
+    if isinstance(lm, dict) and "MAE" in str(lm.get("class_name", "")):
+        loss_main = "l1"
 
     if net is None:
         net = build_unet(cfg["unet"], dtype=dtype)
@@ -247,6 +329,7 @@ def build_model(
         sigma_max=float(cfg.get("sigma_max", 1.0)),
         weighting_loss=bool(cfg.get("weighting_loss", False)),
         use_l1=bool(cfg.get("use_l1", False)),
+        loss_main=loss_main,
         perceptual_weight=float(cfg.get("perceptual_weight", 0.0)),
         clip_x_start=bool(cfg.get("clip_x_start", True)),
         scale_input=float(cfg.get("scale_input", 1.0)),
@@ -272,14 +355,38 @@ def build_model(
 # ---------------------------------------------------------------------------
 
 
+# edge-style `data: name:` sections (configs/edge_detection/*.yaml) name
+# the task, not a class; map onto the matching dataset
+_DATA_NAME_MAP = {
+    "edge": "EdgeDataset",
+    "cityscapes": "CityscapesDataset",
+    "ade20k": "ADE20KDataset",
+    "sr": "SRDataset",
+    "duts": "DUTSDataset",
+    "sketch": "SketchDataset",
+    "nyud": "NYUDv2DepthDataset",
+}
+
+
 def build_dataset(data_cfg: Dict[str, Any]):
     from adm_tpu import data as data_mod
 
     cfg = dict(data_cfg)
-    class_name = cfg.pop("class_name")
+    if "class_name" in cfg:
+        name = cfg.pop("class_name").rsplit(".", 1)[-1]
+    elif "name" in cfg:
+        task = cfg.pop("name")
+        if task not in _DATA_NAME_MAP:
+            raise KeyError(f"unknown dataset task name '{task}'")
+        name = _DATA_NAME_MAP[task]
+    else:
+        raise KeyError("data section needs class_name or name")
     cfg.pop("batch_size", None)
     cfg.pop("num_workers", None)
-    name = class_name.rsplit(".", 1)[-1]
+    if name == "WebdatasetReader":
+        from adm_tpu.data.webdata import WebdatasetReader
+
+        return WebdatasetReader(**cfg)
     if not hasattr(data_mod, name):
-        raise KeyError(f"unknown dataset class_name '{class_name}'")
+        raise KeyError(f"unknown dataset class '{name}'")
     return getattr(data_mod, name)(**cfg)

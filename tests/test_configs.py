@@ -22,22 +22,30 @@ def test_config_builds(path):
     try:
         cfg = load_conf(path)
         model_cfg = cfg["model"]
-        if model_cfg["class_name"].endswith("AutoencoderKL"):
+        from adm_tpu.utils.config import is_vae_config
+
+        if is_vae_config(model_cfg):
             from adm_tpu.cli.train_vae import build_vae
 
             module = build_vae(model_cfg)
             assert module.down_ratio >= 2
             return
-        if "first_stage" in model_cfg:
-            from adm_tpu.cli.train_vae import build_vae
-            from adm_tpu.vae.autoencoder import FirstStage
+        from adm_tpu.cli.train_vae import build_vae
+        from adm_tpu.vae.autoencoder import FirstStage
 
-            fs = FirstStage(build_vae(model_cfg["first_stage"]))
-            model = build_model(model_cfg, first_stage=fs)
-        else:
-            model = build_model(model_cfg)
+        # locate a first_stage section through any of the three conventions
+        search = dict(model_cfg)
+        search.update(search.get("params", {}))
+        fs = None
+        if "first_stage" in search:
+            fs = FirstStage(build_vae(search["first_stage"]))
+        elif "first_stage_config" in search:
+            fs_cfg = search["first_stage_config"]
+            fs = FirstStage(build_vae(fs_cfg.get("params", fs_cfg)))
+        model = build_model(model_cfg, first_stage=fs)
         assert model.sampling_timesteps > 0
-        # unet constructs standalone too
-        build_unet(model_cfg["unet"])
+        # the plain-class_name unet section constructs standalone too
+        if "unet" in model_cfg and "class_name" in model_cfg.get("unet", {}):
+            build_unet(model_cfg["unet"])
     finally:
         os.environ.pop("ADM_TPU_DISABLE_LPIPS", None)
