@@ -14,6 +14,9 @@ Converts torch-side weights into adm_tpu npz trees:
   # torchvision vgg16 state_dict .pth -> LPIPS backbone params
   python -m adm_tpu.cli.convert_weights vgg16 vgg16.pth out.npz
 
+Backbones (torchvision .pth of swin_b / resnet101 / efficientnet_b7):
+  python -m adm_tpu.cli.convert_weights swin_b swin_b.pth out.npz
+
 Load the npz via np.load(..., allow_pickle=True)['params'].item() or the
 dedicated loaders (metrics.metric.load_inception_params, metrics.lpips.
 build_lpips_params with ADM_TPU_VGG16_WEIGHTS).
@@ -28,7 +31,8 @@ import numpy as np
 
 def main():
     p = argparse.ArgumentParser(description="convert torch weights to adm_tpu npz")
-    p.add_argument("kind", choices=["ddm-checkpoint", "vae", "inception", "vgg16"])
+    p.add_argument("kind", choices=["ddm-checkpoint", "vae", "inception", "vgg16",
+                                    "swin_b", "resnet101", "efficientnet_b7"])
     p.add_argument("src")
     p.add_argument("dst")
     p.add_argument("--no-ema", action="store_true",

@@ -102,52 +102,58 @@ class SwinBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        b, h, w, c = x.shape
-        # window never larger than the feature map; no shift when one window
-        # covers everything (torchvision swin shifted-window rule)
-        ws = min(self.window_size, h, w)
-        shift = self.shift % ws
-        if ws == min(h, w) and ws >= max(h, w):
-            shift = 0
+        import numpy as np
 
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(x.dtype)
+        b, h, w, c = x.shape
+        # torchvision semantics (vendored unet/swin_transformer.py:103-116):
+        # the feature map is zero-padded UP to window multiples (the window
+        # is never clipped; padded zeros attend), and the per-axis shift is
+        # zeroed when the window covers the padded axis.
+        ws = self.window_size
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(x.dtype)
         pad_b = (ws - h % ws) % ws
         pad_r = (ws - w % ws) % ws
         y = jnp.pad(y, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
         hp, wp = y.shape[1:3]
+        sh = 0 if ws >= hp else self.shift
+        sw = 0 if ws >= wp else self.shift
 
         mask = None
-        if shift > 0:
-            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
-            # attention mask for cross-window leakage after the roll
-            img_mask = jnp.zeros((1, hp, wp, 1))
+        if sh + sw > 0:
+            y = jnp.roll(y, (-sh, -sw), axis=(1, 2))
+            # static cross-window mask, exactly the reference's slice
+            # arithmetic (unet/swin_transformer.py:136-149)
+            img_mask = np.zeros((hp, wp), np.float32)
+            h_sl = ((0, -ws), (-ws, -sh if sh else None), (-sh if sh else hp, None))
+            w_sl = ((0, -ws), (-ws, -sw if sw else None), (-sw if sw else wp, None))
             cnt = 0
-            slices = (
-                slice(0, hp - ws), slice(hp - ws, hp - shift), slice(hp - shift, hp)
-            )
-            wslices = (
-                slice(0, wp - ws), slice(wp - ws, wp - shift), slice(wp - shift, wp)
-            )
-            for hs in slices:
-                for wss in wslices:
-                    img_mask = img_mask.at[:, hs, wss, :].set(cnt)
+            for hs in h_sl:
+                for wss in w_sl:
+                    img_mask[hs[0]:hs[1], wss[0]:wss[1]] = cnt
                     cnt += 1
-            mw = _window_partition(img_mask, ws).reshape(-1, ws * ws)
-            mask = jnp.where(mw[:, None, :] != mw[:, :, None], -100.0, 0.0)
+            mw = (
+                img_mask.reshape(hp // ws, ws, wp // ws, ws)
+                .transpose(0, 2, 1, 3)
+                .reshape(-1, ws * ws)
+            )
+            mask = jnp.asarray(
+                np.where(mw[:, None, :] != mw[:, :, None], -100.0, 0.0),
+                jnp.float32,
+            )
 
         windows = _window_partition(y, ws)
         att = WindowAttention(
             c, self.heads, ws, dtype=self.dtype, name="attn"
         )(windows, mask)
         y = _window_unpartition(att, ws, hp, wp)
-        if shift > 0:
-            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        if sh + sw > 0:
+            y = jnp.roll(y, (sh, sw), axis=(1, 2))
         y = y[:, :h, :w, :]
         x = x + y
 
-        z = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(x.dtype)
+        z = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(x.dtype)
         z = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(z)
-        z = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(jax.nn.gelu(z))
+        z = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(jax.nn.gelu(z, approximate=False))
         return x + z
 
 
@@ -163,7 +169,7 @@ class PatchMerging(nn.Module):
         x2 = x[:, 0::2, 1::2]
         x3 = x[:, 1::2, 1::2]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x).astype(self.dtype)
         return nn.Dense(2 * c, use_bias=False, dtype=self.dtype, name="reduction")(x)
 
 
@@ -185,7 +191,7 @@ class SwinBackbone(nn.Module):
         x = nn.Conv(
             self.embed_dim, (4, 4), strides=(4, 4), dtype=self.dtype, name="patch_embed"
         )(x.astype(self.dtype))
-        x = nn.LayerNorm(dtype=jnp.float32, name="patch_norm")(x).astype(self.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="patch_norm")(x).astype(self.dtype)
         feats = []
         for stage, (depth, heads) in enumerate(zip(self.depths, self.heads)):
             for blk in range(depth):

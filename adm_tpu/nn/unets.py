@@ -76,6 +76,7 @@ class DhariwalUNet(nn.Module):
     n_decoders: int = 2
     skip_tuning: bool = False
     use_flash_attention: bool = False
+    use_pallas_attention: bool = True
     use_fused_block: bool = False
     use_hw_dropout: bool = True
     remat: bool = False
@@ -110,6 +111,7 @@ class DhariwalUNet(nn.Module):
             init_weight=math.sqrt(1 / 3),
             init_bias=math.sqrt(1 / 3),
             use_flash_attention=self.use_flash_attention,
+            use_pallas_attention=self.use_pallas_attention,
             use_fused_block=self.use_fused_block,
             use_hw_dropout=self.use_hw_dropout,
             dtype=self.dtype,
@@ -245,6 +247,7 @@ class SongUNet(nn.Module):
     n_decoders: int = 2
     skip_tuning: bool = False
     use_flash_attention: bool = False
+    use_pallas_attention: bool = True
     use_fused_block: bool = False
     use_hw_dropout: bool = True
     remat: bool = False
@@ -282,6 +285,7 @@ class SongUNet(nn.Module):
             init_bias=0.0,
             init_attn_weight=math.sqrt(0.2),
             use_flash_attention=self.use_flash_attention,
+            use_pallas_attention=self.use_pallas_attention,
             use_fused_block=self.use_fused_block,
             use_hw_dropout=self.use_hw_dropout,
             dtype=self.dtype,

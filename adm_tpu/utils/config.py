@@ -69,9 +69,11 @@ _MODEL_KWARG_KEYS = (
     "dropout",
     "label_dropout",
     "augment_dim",
-    # TPU perf knobs (adm_tpu extensions, default off)
+    # TPU perf knobs (adm_tpu extensions)
     "use_flash_attention",
+    "use_pallas_attention",
     "use_fused_block",
+    "use_hw_dropout",
     "remat",
 )
 _SONG_KWARG_KEYS = (
