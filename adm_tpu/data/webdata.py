@@ -51,7 +51,24 @@ class WebdatasetReader:
         if not self.shards:
             raise FileNotFoundError(f"no shards for {urls}")
         self.image_size = tuple(image_size)
-        self.tokenizer = tokenizer or ByteTokenizer(context_length)
+        if tokenizer is None:
+            import os
+
+            if os.environ.get("ADM_TPU_CLIP_BPE"):
+                # the reference tokenizes with CLIP BPE (ddm/webdata.py:53);
+                # supply CLIP's bpe_simple_vocab_16e6.txt.gz via env
+                from adm_tpu.nn.clip_tokenizer import ClipBPETokenizer
+
+                tokenizer = ClipBPETokenizer(context_length=context_length)
+            else:
+                import logging
+
+                logging.getLogger("adm_tpu").warning(
+                    "no ADM_TPU_CLIP_BPE vocab set — captions use the byte "
+                    "fallback tokenizer; ids will NOT match CLIP"
+                )
+                tokenizer = ByteTokenizer(context_length)
+        self.tokenizer = tokenizer
         self.min_brightness = min_mean_brightness
         self.caption_key = caption_key
         self.rng = np.random.RandomState(seed + process_index)

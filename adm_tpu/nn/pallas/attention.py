@@ -27,61 +27,72 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    q = q_ref[0, 0].astype(jnp.float32)  # (S, D)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    s = jax.lax.dot_general(
-        q * scale, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (S, S)
+def _softmax_rows(s):
     s = s - jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
-    o = jnp.dot(p, v, preferred_element_type=jnp.float32)
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, tile: int):
+    # tile (batch*head) pairs per program: one tiny attention per pair is
+    # grid-overhead-bound (768 sequential ~17us programs measured slower
+    # than XLA); unrolling `tile` pairs amortizes the per-program cost
+    for i in range(tile):
+        q = q_ref[i].astype(jnp.float32)  # (S, D)
+        k = k_ref[i].astype(jnp.float32)
+        v = v_ref[i].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q * scale, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (S, S)
+        p = _softmax_rows(s)
+        o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+        o_ref[i] = o.astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
-                scale: float):
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)
-    s = jax.lax.dot_general(
-        q * scale, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    s = s - jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)  # (S, S)
-    # dv = p^T do
-    dv = jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    # dp = do v^T ; softmax vjp: ds = p * (dp - rowsum(dp * p))
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
-    dk = jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
-    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+                scale: float, tile: int):
+    for i in range(tile):
+        q = q_ref[i].astype(jnp.float32)
+        k = k_ref[i].astype(jnp.float32)
+        v = v_ref[i].astype(jnp.float32)
+        do = do_ref[i].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q * scale, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        p = _softmax_rows(s)  # (S, S)
+        # dv = p^T do
+        dv = jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        # dp = do v^T ; softmax vjp: ds = p * (dp - rowsum(dp * p))
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        dq_ref[i] = dq.astype(dq_ref.dtype)
+        dk_ref[i] = dk.astype(dk_ref.dtype)
+        dv_ref[i] = dv.astype(dv_ref.dtype)
 
 
-def _spec():
-    return pl.BlockSpec(
-        index_map=lambda b, h: (b, h, 0, 0), block_shape=(1, 1, None, None)
-    )
+def _pick_tile(bh: int, s: int, d: int) -> int:
+    """Largest divisor of bh keeping ~<=4MB fp32 working set per program."""
+    budget = 4 * 1024 * 1024
+    per_pair = 4 * (s * s + 4 * s * d)
+    tile = max(1, min(bh, budget // max(per_pair, 1)))
+    while bh % tile:
+        tile -= 1
+    return tile
 
 
-def _bh_specs(b, h, s, d):
-    blk = (1, 1, s, d)
-    return pl.BlockSpec(blk, lambda i, j: (i, j, 0, 0))
+def _bh_specs(s, d, tile):
+    blk = (tile, s, d)
+    return pl.BlockSpec(blk, lambda i: (i, 0, 0))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -94,35 +105,42 @@ def small_seq_attention(q: Array, k: Array, v: Array, scale: float,
 
 def _attn_fwd(q, k, v, scale, interpret):
     b, h, s, d = q.shape
-    spec = _bh_specs(b, h, s, d)
+    bh = b * h
+    tile = _pick_tile(bh, s, d)
+    spec = _bh_specs(s, d, tile)
     o = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale),
-        grid=(b, h),
+        functools.partial(_fwd_kernel, scale=scale, tile=tile),
+        grid=(bh // tile,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
         interpret=interpret,
-    )(q, k, v)
-    return o, (q, k, v)
+    )(q.reshape(bh, s, d), k.reshape(bh, s, d), v.reshape(bh, s, d))
+    return o.reshape(q.shape), (q, k, v)
 
 
 def _attn_bwd(scale, interpret, res, do):
     q, k, v = res
     b, h, s, d = q.shape
-    spec = _bh_specs(b, h, s, d)
+    bh = b * h
+    # the bwd working set is ~3x the fwd's; halve the tile
+    tile = _pick_tile(bh, s, 3 * d)
+    spec = _bh_specs(s, d, tile)
+    flat = jax.ShapeDtypeStruct((bh, s, d), q.dtype)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale),
-        grid=(b, h),
+        functools.partial(_bwd_kernel, scale=scale, tile=tile),
+        grid=(bh // tile,),
         in_specs=[spec, spec, spec, spec],
         out_specs=(spec, spec, spec),
-        out_shape=(
-            jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct(k.shape, k.dtype),
-            jax.ShapeDtypeStruct(v.shape, v.dtype),
-        ),
+        out_shape=(flat, flat, flat),
         interpret=interpret,
-    )(q, k, v, do)
-    return dq, dk, dv
+    )(
+        q.reshape(bh, s, d),
+        k.reshape(bh, s, d),
+        v.reshape(bh, s, d),
+        do.reshape(bh, s, d),
+    )
+    return dq.reshape(q.shape), dk.reshape(q.shape), dv.reshape(q.shape)
 
 
 small_seq_attention.defvjp(_attn_fwd, _attn_bwd)

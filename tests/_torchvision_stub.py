@@ -213,8 +213,19 @@ def install():
     models._meta = m_meta
     models._utils = m_utils
 
+    datasets = types.ModuleType("torchvision.datasets")
+
+    class _UnavailableDataset:
+        def __init__(self, *a, **k):
+            raise RuntimeError("torchvision datasets are stubbed out")
+
+    datasets.CIFAR10 = _UnavailableDataset
+    datasets.STL10 = _UnavailableDataset
+    tv.datasets = datasets
+
     for name, mod in [
         ("torchvision", tv),
+        ("torchvision.datasets", datasets),
         ("torchvision.ops", ops),
         ("torchvision.ops.misc", ops_misc),
         ("torchvision.ops.stochastic_depth", ops_sd),

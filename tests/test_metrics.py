@@ -129,3 +129,134 @@ def test_inception_architecture_parity():
             atol=1e-3 + 1e-3 * np.abs(rfn).max(),
             err_msg=f"feature '{name}' mismatch",
         )
+
+
+def _random_torch_extractor(features_list):
+    """Reference extractor with live random weights (no download)."""
+    torch = pytest.importorskip("torch")
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import metrics.feature_extractor_inceptionv3 as fx
+
+    torch.manual_seed(0)
+    orig_load = torch.nn.Module.load_state_dict
+    fx.load_state_dict_from_url = lambda *a, **k: {}
+    torch.nn.Module.load_state_dict = lambda self, sd, strict=True: None
+    try:
+        ref = fx.FeatureExtractorInceptionV3("x", features_list=list(features_list))
+    finally:
+        torch.nn.Module.load_state_dict = orig_load
+    ref.eval()
+    with torch.no_grad():
+        for name, p in ref.named_parameters():
+            if name.endswith("conv.weight"):
+                p.mul_(1.8)
+            if name.endswith("bn.bias"):
+                p.add_(0.05)
+    return ref
+
+
+def test_fid_pipeline_end_to_end_vs_reference():
+    """WHOLE-metric equivalence (VERDICT item 4): shared random Inception
+    weights -> same two image sets -> |FID_jax - FID_torch| small, where the
+    torch side runs the reference's vendored pipeline verbatim
+    (metrics/metric_fid.py:16-72 on features from
+    metrics/feature_extractor_inceptionv3.py)."""
+    torch = pytest.importorskip("torch")
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from tests._torchvision_stub import install as _install_tv
+
+    _install_tv()
+    from metrics.metric_fid import (
+        fid_features_to_statistics,
+        fid_statistics_to_metric,
+    )
+
+    from adm_tpu.metrics.inception import FIDInceptionV3, convert_inception
+
+    ref = _random_torch_extractor(["2048"])
+    params = jax.tree_util.tree_map(
+        jnp.asarray, convert_inception(ref.state_dict())
+    )
+    ours = FIDInceptionV3(features_list=("2048",))
+
+    rng_np = np.random.RandomState(7)
+    n = 128
+    # two genuinely different distributions (white noise vs dark constant)
+    imgs1 = rng_np.randint(0, 256, (n, 3, 32, 32)).astype(np.uint8)
+    imgs2 = np.zeros((n, 3, 32, 32), np.uint8)
+
+    # With N=128 samples the 2048-dim covariance is rank-deficient and
+    # scipy's sqrtm of the singular product is numerically ill-posed (it
+    # warns "Matrix is singular"), so implementations legitimately diverge.
+    # Slice to 64 feature dims on BOTH sides: full-rank statistics, same
+    # reference code path end-to-end.
+    dims = 64
+
+    def torch_feats(imgs):
+        with torch.no_grad():
+            return ref(torch.from_numpy(imgs))[0].to(torch.float64)[:, :dims]
+
+    stat1 = fid_features_to_statistics(torch_feats(imgs1))
+    stat2 = fid_features_to_statistics(torch_feats(imgs2))
+    fid_torch = fid_statistics_to_metric(stat1, stat2, verbose=False)[
+        "frechet_inception_distance"
+    ]
+
+    def jax_feats(imgs):
+        return ours.apply(params, jnp.asarray(imgs.transpose(0, 2, 3, 1)))[
+            "2048"
+        ][:, :dims]
+
+    fid_jax = float(compute_fid(jax_feats(imgs1), jax_feats(imgs2)))
+    assert fid_torch > 1e-4, "degenerate test: FID should be nonzero"
+    np.testing.assert_allclose(fid_jax, fid_torch, rtol=2e-2)
+
+
+def test_isc_pipeline_end_to_end_vs_reference():
+    """Whole-metric ISC: same logits through the reference
+    metrics/metric_isc.py:11-35 vs our inception_score."""
+    torch = pytest.importorskip("torch")
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from tests._torchvision_stub import install as _install_tv
+
+    _install_tv()
+    from metrics.metric_isc import isc_features_to_metric
+
+    rng_np = np.random.RandomState(3)
+    logits = rng_np.randn(200, 16).astype(np.float32) * 3
+    ref = isc_features_to_metric(
+        torch.from_numpy(logits), splits=4, shuffle=False
+    )
+    mean, std = inception_score(jnp.asarray(logits), splits=4)
+    np.testing.assert_allclose(
+        float(mean), ref["inception_score_mean"], rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(std), ref["inception_score_std"], rtol=1e-3, atol=1e-5
+    )
+
+
+def test_kid_pipeline_end_to_end_vs_reference():
+    """Whole-metric KID: the unbiased MMD^2 core
+    (metrics/metric_kid.py:58-71) on one full-set 'subset' so the subset
+    RNG is out of the comparison."""
+    torch = pytest.importorskip("torch")
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from tests._torchvision_stub import install as _install_tv
+
+    _install_tv()
+    from metrics.metric_kid import polynomial_mmd
+
+    rng_np = np.random.RandomState(4)
+    f1 = rng_np.randn(100, 32).astype(np.float64)
+    f2 = (rng_np.randn(100, 32) * 1.2 + 0.1).astype(np.float64)
+    ref = polynomial_mmd(f1, f2, degree=3, gamma=None, coef0=1)
+    mean, _ = kernel_inception_distance(
+        jnp.asarray(f1), jnp.asarray(f2), jax.random.PRNGKey(0),
+        subsets=1, subset_size=100,
+    )
+    np.testing.assert_allclose(float(mean), ref, rtol=1e-4, atol=1e-7)

@@ -134,8 +134,31 @@ def attn():
         emit(exp="attn", shape=f"b{b}h{heads}s{seq}d{d}", ms=round(dt * 1e3, 3))
 
 
+def attn_pallas():
+    """Pallas VMEM-resident attention vs the XLA einsum path."""
+    from adm_tpu.nn.pallas.attention import small_seq_attention
+
+    for (b, heads, seq, d) in [(128, 6, 256, 64), (128, 6, 64, 64)]:
+        q = jnp.ones((b, heads, seq, d), jnp.bfloat16) * 0.1
+        n = 20
+
+        @jax.jit
+        def run(q):
+            def body(y, _):
+                a = small_seq_attention(y, y, y, 0.125)
+                return a, ()
+
+            y, _ = jax.lax.scan(body, q, None, length=n)
+            return y
+
+        dt = timed(run, q) / n
+        emit(exp="attn_pallas", shape=f"b{b}h{heads}s{seq}d{d}",
+             ms=round(dt * 1e3, 3))
+
+
 # ---------------------------------------------------------------------------
-def _make_step(hw_dropout: bool, dropout: float = 0.1):
+def _make_step(hw_dropout: bool, dropout: float = 0.1,
+               pallas_attention: bool = False):
     from adm_tpu.core.diffusion import DDPM
     from adm_tpu.nn.unets import EDMPrecond
     from adm_tpu.train.state import EmaConfig, TrainState
@@ -143,7 +166,8 @@ def _make_step(hw_dropout: bool, dropout: float = 0.1):
 
     kwargs = dict(model_channels=192, channel_mult=(1, 2, 2, 2), num_blocks=3,
                   attn_resolutions=(16, 8), dropout=dropout, augment_dim=9,
-                  use_hw_dropout=hw_dropout)
+                  use_hw_dropout=hw_dropout,
+                  use_pallas_attention=pallas_attention)
     net = EDMPrecond(img_resolution=32, img_channels=3, sigma_data=1.0,
                      variant="const", n_decoders=2, dtype=jnp.bfloat16,
                      model_kwargs=kwargs)
@@ -168,10 +192,11 @@ def _time_step(state, jitted, batch, key, steps=20):
     return dt, state
 
 
-def step_variant(name: str, hw: bool, dropout: float = 0.1):
+def step_variant(name: str, hw: bool, dropout: float = 0.1,
+                 pallas_attention: bool = False):
     batch = {"image": jnp.zeros((128, 32, 32, 3), jnp.float32)}
     key = jax.random.PRNGKey(1)
-    model, state, jitted = _make_step(hw, dropout)
+    model, state, jitted = _make_step(hw, dropout, pallas_attention)
     dt, state = _time_step(state, jitted, batch, key)
     emit(exp=name, ms=round(dt * 1e3, 1), imgs_per_sec=round(128 / dt, 1))
 
@@ -199,9 +224,12 @@ EXPS = {
     "conv_mfu": conv_mfu,
     "gn_chain": gn_chain,
     "attn": attn,
+    "attn_pallas": attn_pallas,
     "step_base": lambda: step_variant("step_base", hw=False),
     "step_hw": lambda: step_variant("step_hw", hw=True),
     "step_nodrop": lambda: step_variant("step_nodrop", hw=False, dropout=0.0),
+    "step_attn": lambda: step_variant("step_attn", hw=True,
+                                      pallas_attention=True),
     "fwd_only": fwd_only,
 }
 
