@@ -33,51 +33,56 @@ def _softmax_rows(s):
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
+def _bdot(a, b, contract_a, contract_b):
+    """batched (leading-dim) dot with fp32 accumulation."""
+    return jax.lax.dot_general(
+        a, b, (((contract_a,), (contract_b,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, tile: int):
-    # tile (batch*head) pairs per program: one tiny attention per pair is
-    # grid-overhead-bound (768 sequential ~17us programs measured slower
-    # than XLA); unrolling `tile` pairs amortizes the per-program cost
-    for i in range(tile):
-        q = q_ref[i].astype(jnp.float32)  # (S, D)
-        k = k_ref[i].astype(jnp.float32)
-        v = v_ref[i].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q * scale, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (S, S)
-        p = _softmax_rows(s)
-        o = jnp.dot(p, v, preferred_element_type=jnp.float32)
-        o_ref[i] = o.astype(o_ref.dtype)
+    # `tile` (batch*head) pairs per program as ONE batched matmul: one tiny
+    # attention per pair is grid-overhead-bound, and an unrolled per-pair
+    # loop underutilizes the MXU. Matmuls run in the input dtype (bf16 at
+    # full MXU rate in the net) with fp32 accumulation; softmax is fp32 —
+    # matching the reference's fp32 attention island, whose fp32 inputs are
+    # themselves upcast bf16 activations (unet/uncond_unet.py:136-149).
+    q = q_ref[:]  # (T, S, D)
+    k = k_ref[:]
+    v = v_ref[:]
+    s = _bdot(q, k, 2, 2) * scale  # (T, S, S) fp32
+    p = _softmax_rows(s)
+    o = _bdot(p.astype(q.dtype), v, 2, 1)
+    o_ref[:] = o.astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
                 scale: float, tile: int):
-    for i in range(tile):
-        q = q_ref[i].astype(jnp.float32)
-        k = k_ref[i].astype(jnp.float32)
-        v = v_ref[i].astype(jnp.float32)
-        do = do_ref[i].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q * scale, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        p = _softmax_rows(s)  # (S, S)
-        # dv = p^T do
-        dv = jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        # dp = do v^T ; softmax vjp: ds = p * (dp - rowsum(dp * p))
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
-        dk = jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        dq_ref[i] = dq.astype(dq_ref.dtype)
-        dk_ref[i] = dk.astype(dk_ref.dtype)
-        dv_ref[i] = dv.astype(dv_ref.dtype)
+    q = q_ref[:]
+    k = k_ref[:]
+    v = v_ref[:]
+    do = do_ref[:]
+    s = _bdot(q, k, 2, 2) * scale
+    p = _softmax_rows(s)  # (T, S, S) fp32
+    pd = p.astype(q.dtype)
+    # dv = p^T do   (contract the query axis)
+    dv = jax.lax.dot_general(
+        pd, do, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    # dp = do v^T ; softmax vjp: ds = p * (dp - rowsum(dp * p))
+    dp = _bdot(do, v, 2, 2)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dsd = ds.astype(q.dtype)
+    dq = _bdot(dsd, k, 2, 1) * scale
+    dk = jax.lax.dot_general(
+        dsd, q, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    dq_ref[:] = dq.astype(dq_ref.dtype)
+    dk_ref[:] = dk.astype(dk_ref.dtype)
+    dv_ref[:] = dv.astype(dv_ref.dtype)
 
 
 def _pick_tile(bh: int, s: int, d: int) -> int:

@@ -75,8 +75,28 @@ def check_replication_consistency(tree, atol: float = 0.0) -> None:
 def shard_batch(mesh: Mesh, batch):
     """Place a host batch dict onto the mesh, batch-axis sharded.
 
-    Single-process path; multi-host uses
-    jax.make_array_from_process_local_data with the same sharding.
+    Multi-process (multi-host DCN): each process holds its LOCAL slice of
+    the global batch (the per-process dataloader shard, replacing the
+    reference's DistributedSampler + DDP, torch_utils/distributed.py:14-41);
+    jax.make_array_from_process_local_data assembles the global array. The
+    single-process fast path is a plain device_put.
     """
     sh = data_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    return global_shard_batch(mesh, batch)
+
+
+def global_shard_batch(mesh: Mesh, batch):
+    """Assemble per-process local batch slices into global sharded arrays.
+
+    Local arrays must be the process's contiguous slice of the global batch:
+    global batch size = local * process_count. Works single-process too
+    (exercised on the CPU test mesh), where local == global.
+    """
+    sh = data_sharding(mesh)
+
+    def put(x):
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+    return jax.tree_util.tree_map(put, batch)

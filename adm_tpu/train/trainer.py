@@ -18,7 +18,7 @@ import math
 import os
 import time
 from pathlib import Path
-from typing import Any, Callable, Dict, Iterator, Optional
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -155,6 +155,9 @@ class Trainer:
         sample_batch_size: int = 16,
         nan_guard: bool = True,
         csv_log: bool = True,
+        tensorboard: bool = True,
+        profile_dir: Optional[str] = None,
+        profile_steps: Tuple[int, int] = (10, 15),
     ):
         self.model = model
         self.data_iter = data_iter
@@ -176,6 +179,19 @@ class Trainer:
         )
         if self.csv_path is not None and not self.csv_path.exists():
             self.csv_path.write_text("step,loss,loss_simple,grad_norm,lr\n")
+        # TensorBoard scalars (reference train_uncond_dpm.py:300-303) — only
+        # on process 0, like the reference's rank-0 guard
+        from adm_tpu.utils.tb import ScalarWriter
+
+        self.tb = ScalarWriter(
+            str(self.results_folder / "tb")
+            if tensorboard and jax.process_index() == 0
+            else None
+        )
+        # jax.profiler trace window: set profile_dir (or ADM_TPU_PROFILE_DIR)
+        # to capture steps [profile_steps) into a tensorboard-readable trace
+        self.profile_dir = profile_dir or os.environ.get("ADM_TPU_PROFILE_DIR")
+        self.profile_steps = profile_steps
 
         self.optimizer, self.lr_schedule = make_optimizer(
             train_lr, train_num_steps, warmup_steps, min_lr, weight_decay
@@ -228,13 +244,20 @@ class Trainer:
         """Mean validation loss over n_batches (the reference fork's
         validation_step capability, ddm/ddm_const.py:676-693)."""
         weights = self.state.ema_params if use_ema else self.state.params
-        eval_step = jax.jit(
-            lambda p, b, k: self.model.training_step(p, b, k, train=False)
-            if self.fs_params is None
-            else self.model.training_step(
-                p, b, k, train=False, fs_params=self.fs_params
-            )
-        )
+        # jit once and cache — a 5-15 min recompile per evaluate() call on
+        # the tunneled backend otherwise
+        if not hasattr(self, "_eval_step"):
+            if self.fs_params is None:
+                def _ev(p, b, k):
+                    return self.model.training_step(p, b, k, train=False)
+            else:
+                def _ev(p, b, k):
+                    return self.model.training_step(
+                        p, b, k, train=False, fs_params=self.fs_params
+                    )
+
+            self._eval_step = jax.jit(_ev)
+        eval_step = self._eval_step
         losses = []
         for i in range(n_batches):
             batch = shard_batch(self.mesh, next(data_iter))
@@ -253,8 +276,14 @@ class Trainer:
             batch = next(self.data_iter)
             imgs_seen += next(iter(batch.values())).shape[0]
             batch = shard_batch(self.mesh, batch)
+            if self.profile_dir and int(self.state.step) == self.profile_steps[0]:
+                jax.profiler.start_trace(self.profile_dir)
             self.state, metrics = self._step(self.state, batch, self.train_key)
             step = int(self.state.step)
+            if self.profile_dir and step == self.profile_steps[1]:
+                jax.block_until_ready(self.state.params)
+                jax.profiler.stop_trace()
+                log.info("profiler trace written to %s", self.profile_dir)
             if step % self.log_freq == 0 or step == total:
                 m = {k: float(v) for k, v in metrics.items()}
                 dt = time.time() - t0
@@ -281,6 +310,11 @@ class Trainer:
                             f"{m.get('grad_norm', 0)},"
                             f"{float(self.lr_schedule(step))}\n"
                         )
+                # the reference logs lr + every loss component
+                # (train_uncond_dpm.py:300-303)
+                self.tb.add_scalars(m, step)
+                self.tb.add_scalar("lr", float(self.lr_schedule(step)), step)
+                self.tb.flush()
             if self.save_and_sample_every and step % self.save_and_sample_every == 0:
                 milestone = step // self.save_and_sample_every
                 self.save(milestone)

@@ -301,13 +301,26 @@ def build_model(
         else:
             from adm_tpu.metrics.lpips import build_lpips_params, make_perceptual_fn
 
+            if not os.environ.get("ADM_TPU_VGG16_WEIGHTS") and not os.environ.get(
+                "ADM_TPU_ALLOW_RANDOM_LPIPS"
+            ):
+                # a random perceptual net silently corrupts training — the
+                # reference always ships real lpips weights (taming/
+                # modules/losses/lpips.py:10-54), so hard-fail unless the
+                # user explicitly opts in
+                raise RuntimeError(
+                    "perceptual_weight > 0 but no VGG16 weights: set "
+                    "ADM_TPU_VGG16_WEIGHTS to a converted torchvision vgg16 "
+                    ".npz (cli/convert_weights.py), or force random weights "
+                    "with ADM_TPU_ALLOW_RANDOM_LPIPS=1, or disable with "
+                    "ADM_TPU_DISABLE_LPIPS=1"
+                )
             lp = build_lpips_params()
             perceptual_fn = make_perceptual_fn(lp)
             if not os.environ.get("ADM_TPU_VGG16_WEIGHTS"):
                 log.warning(
-                    "LPIPS running with RANDOM VGG16 backbone weights — set "
-                    "ADM_TPU_VGG16_WEIGHTS to a converted torchvision vgg16 "
-                    ".npz for the real perceptual loss"
+                    "LPIPS running with RANDOM VGG16 backbone weights "
+                    "(ADM_TPU_ALLOW_RANDOM_LPIPS override)"
                 )
 
     if augment_fn is None and cfg.get("use_augment", False):

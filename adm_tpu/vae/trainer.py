@@ -173,6 +173,12 @@ class VAETrainer:
         self.results_folder = Path(results_folder)
         self.results_folder.mkdir(parents=True, exist_ok=True)
         self.mesh = mesh if mesh is not None else make_mesh()
+        # GAN diagnostics to TensorBoard (reference train_vae.py:287-297)
+        from adm_tpu.utils.tb import ScalarWriter
+
+        self.tb = ScalarWriter(
+            str(self.results_folder / "tb") if jax.process_index() == 0 else None
+        )
         loss_cfg = loss_cfg or VAELossConfig()
 
         disc = NLayerDiscriminator(n_layers=loss_cfg.disc_num_layers)
@@ -256,6 +262,8 @@ class VAETrainer:
                     m.get("train/kl_loss", 0), m.get("train/disc_loss", 0),
                     seen / max(time.time() - t0, 1e-9),
                 )
+                self.tb.add_scalars(m, step)
+                self.tb.flush()
             if self.save_and_sample_every and step % self.save_and_sample_every == 0:
                 self.save(step // self.save_and_sample_every)
                 if recon_fn is not None:
