@@ -8,12 +8,16 @@ Implements the subset the reference instantiates for DDM training
 Parameter sampling and label math match the reference exactly (each op fires
 with probability min(mult*p, 1), strengths are exp2-scaled normals etc.).
 
-Deliberate deviation: the reference executes the affine warp anti-aliased
-(reflect-pad -> 2x sym6 wavelet supersample -> grid_sample -> wavelet
-downsample, ddm/augment.py:232-270). We apply one bilinear warp on a
-reflect-padded image — same geometry and labels, slightly more aliasing on
-strong zooms. Shapes stay static (the reference computes a data-dependent
-margin; we use the fixed upper bound it clamps to).
+The affine warp executes anti-aliased exactly like the reference
+(ddm/augment.py:232-270): reflect-pad -> 2x sym6 wavelet supersample ->
+one bilinear grid_sample (align_corners=False semantics) -> wavelet
+stride-2 downsample + crop. One static-shape deviation: the reference pads
+by a data-dependent per-batch margin clamped to at most (W-1, H-1); we pad
+by that clamp bound unconditionally — identical output whenever the
+reference's computed margin suffices (reflect content beyond the needed
+area is never sampled), and reflected-vs-zero tails only for transforms so
+extreme they exceed the clamp. `antialias=False` falls back to the cheaper
+single-pass bilinear warp.
 """
 
 from __future__ import annotations
@@ -91,6 +95,124 @@ def _bilinear_warp(images: Array, g_inv: Array, margin: int) -> Array:
     return jax.vmap(warp_one)(padded, g_inv)
 
 
+# sym6 scaling filter (reference ddm/augment.py:21-38 wavelets table)
+SYM6 = (
+    0.015404109327027373, 0.0034907120842174702, -0.11799011114819057,
+    -0.048311742585633, 0.4910559419267466, 0.787641141030194,
+    0.3379294217276218, -0.07263752278646252, -0.021060292512300564,
+    0.04472490177066578, 0.0017677118642428036, -0.007800708325034148,
+)
+
+
+def _depthwise_1d(x: Array, taps: Array, axis: int, stride: int, pad: int):
+    """Depthwise 1D cross-correlation along H (axis=1) or W (axis=2), NHWC."""
+    c = x.shape[-1]
+    k = taps.shape[0]
+    if axis == 2:
+        kern = jnp.tile(taps[None, :, None, None], (1, 1, 1, c))
+        strides, padding = (1, stride), [(0, 0), (pad, pad)]
+    else:
+        kern = jnp.tile(taps[:, None, None, None], (1, 1, 1, c))
+        strides, padding = (stride, 1), [(pad, pad), (0, 0)]
+    return jax.lax.conv_general_dilated(
+        x, kern.astype(x.dtype), strides, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+    )
+
+
+def _zero_stuff(x: Array, axis: int) -> Array:
+    """Interleave zeros along H/W, dropping the trailing zero (size 2n-1)."""
+    z = jnp.zeros_like(x)
+    stacked = jnp.stack([x, z], axis=axis + 1)
+    shp = list(x.shape)
+    shp[axis] *= 2
+    out = stacked.reshape(shp)
+    sl = [slice(None)] * out.ndim
+    sl[axis] = slice(0, -1)
+    return out[tuple(sl)]
+
+
+def _antialiased_warp(images: Array, g_inv: Array) -> Array:
+    """The reference's wavelet-supersampled warp (ddm/augment.py:232-270),
+    NHWC, static margins = the reference's (W-1, H-1) clamp bound."""
+    n, h, w, c = images.shape
+    hz = jnp.asarray(SYM6, jnp.float32)
+    k = len(SYM6)
+    hz_pad = k // 4  # 3
+    mx, my = w - 1, h - 1
+
+    x = jnp.pad(images, ((0, 0), (my, my), (mx, mx), (0, 0)), mode="reflect")
+    # symmetric margins: the reference's translate2d((mx0-mx1)/2, ...) is 0
+
+    # upsample 2x: zero-stuff then conv with reversed taps, pad (k+1)//2
+    up_pad = (k + 1) // 2
+    x = _depthwise_1d(_zero_stuff(x, 2), hz[::-1], axis=2, stride=1, pad=up_pad)
+    x = _depthwise_1d(_zero_stuff(x, 1), hz[::-1], axis=1, stride=1, pad=up_pad)
+    hin, win = x.shape[1], x.shape[2]
+
+    # G_inv conditioning (ddm/augment.py:258-262): upsample scale, the
+    # align_corners=False half-pixel shift, and normalized-coords mapping
+    s2 = jnp.asarray(
+        [[2.0, 0, 0], [0, 2.0, 0], [0, 0, 1.0]], jnp.float32
+    )
+    s2_inv = jnp.asarray(
+        [[0.5, 0, 0], [0, 0.5, 0], [0, 0, 1.0]], jnp.float32
+    )
+    t_half = jnp.asarray(
+        [[1.0, 0, -0.5], [0, 1.0, -0.5], [0, 0, 1.0]], jnp.float32
+    )
+    t_half_inv = jnp.asarray(
+        [[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1.0]], jnp.float32
+    )
+    g = s2[None] @ g_inv @ s2_inv[None]
+    g = t_half[None] @ g @ t_half_inv[None]
+    hs, ws = (h + hz_pad * 2) * 2, (w + hz_pad * 2) * 2
+    norm_in = jnp.asarray(
+        [[2.0 / win, 0, 0], [0, 2.0 / hin, 0], [0, 0, 1.0]], jnp.float32
+    )
+    norm_out = jnp.asarray(
+        [[ws / 2.0, 0, 0], [0, hs / 2.0, 0], [0, 0, 1.0]], jnp.float32
+    )
+    g = norm_in[None] @ g @ norm_out[None]
+
+    # grid_sample(bilinear, zeros, align_corners=False) over output (hs, ws)
+    jj, ii = jnp.meshgrid(jnp.arange(ws), jnp.arange(hs), indexing="xy")
+    xn = (2 * jj + 1).astype(jnp.float32) / ws - 1.0
+    yn = (2 * ii + 1).astype(jnp.float32) / hs - 1.0
+    tgt = jnp.stack([xn, yn, jnp.ones_like(xn)], axis=-1)  # (hs, ws, 3)
+
+    def sample_one(img, gm):
+        src = jnp.einsum("ij,hwj->hwi", gm, tgt)
+        sx = ((src[..., 0] + 1.0) * win - 1.0) / 2.0
+        sy = ((src[..., 1] + 1.0) * hin - 1.0) / 2.0
+        x0 = jnp.floor(sx).astype(jnp.int32)
+        y0 = jnp.floor(sy).astype(jnp.int32)
+        fx = (sx - x0)[..., None]
+        fy = (sy - y0)[..., None]
+
+        def tap(yy, xx):
+            valid = (
+                (xx >= 0) & (xx < win) & (yy >= 0) & (yy < hin)
+            )[..., None]
+            v = img[jnp.clip(yy, 0, hin - 1), jnp.clip(xx, 0, win - 1)]
+            return jnp.where(valid, v, 0.0)
+
+        return (
+            tap(y0, x0) * (1 - fx) * (1 - fy)
+            + tap(y0, x0 + 1) * fx * (1 - fy)
+            + tap(y0 + 1, x0) * (1 - fx) * fy
+            + tap(y0 + 1, x0 + 1) * fx * fy
+        )
+
+    x = jax.vmap(sample_one)(x, g)
+
+    # downsample: forward taps, stride 2, crop hz_pad (ddm/augment.py:267-270)
+    dn_pad = (k - 1) // 2
+    x = _depthwise_1d(x, hz, axis=2, stride=2, pad=dn_pad)[:, :, hz_pad:-hz_pad, :]
+    x = _depthwise_1d(x, hz, axis=1, stride=2, pad=dn_pad)[:, hz_pad:-hz_pad, :, :]
+    return x
+
+
 @dataclasses.dataclass(frozen=True)
 class AugmentPipe:
     p: float = 0.12
@@ -105,6 +227,7 @@ class AugmentPipe:
     aniso_std: float = 0.2
     aniso_rotate_prob: float = 0.5
     translate_frac_std: float = 0.125
+    antialias: bool = True
 
     @property
     def label_dim(self) -> int:
@@ -183,7 +306,10 @@ class AugmentPipe:
             g_inv = g_inv @ _translate2d(-tx, -ty)
             labels.append(jnp.stack([wv[0], wv[1]], axis=-1))
 
-        margin = max(h, w) // 2
-        images = _bilinear_warp(images, g_inv, margin)
+        if self.antialias:
+            images = _antialiased_warp(images, g_inv)
+        else:
+            margin = max(h, w) // 2
+            images = _bilinear_warp(images, g_inv, margin)
         label = jnp.concatenate(labels, axis=-1) if labels else jnp.zeros((n, 0))
         return images, label

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from adm_tpu.core.augment import AugmentPipe
 
@@ -75,3 +76,131 @@ def test_augment_in_training_step(rng):
         params, batch, jax.random.PRNGKey(1)
     )
     assert bool(jnp.isfinite(loss))
+
+
+def _ref_warp_torch(images_nchw, g_inv, torch):
+    """Transcription of the reference's anti-aliased warp execution
+    (ddm/augment.py:232-270), incl. its data-dependent asymmetric margins."""
+    import numpy as np
+
+    from adm_tpu.core.augment import SYM6
+
+    N, C, H, W = images_nchw.shape
+    images = images_nchw.clone()
+    G_inv = g_inv.clone().to(torch.float32)
+    cx, cy = (W - 1) / 2, (H - 1) / 2
+    cp = torch.tensor(
+        [[-cx, -cy, 1], [cx, -cy, 1], [cx, cy, 1], [-cx, cy, 1]],
+        dtype=torch.float32,
+    )
+    cp = G_inv @ cp.t()
+    Hz = np.asarray(SYM6, dtype=np.float32)
+    Hz_pad = len(Hz) // 4
+    margin = cp[:, :2, :].permute(1, 0, 2).flatten(1)
+    margin = torch.cat([-margin, margin]).max(dim=1).values
+    margin = margin + torch.tensor([Hz_pad * 2 - cx, Hz_pad * 2 - cy] * 2)
+    margin = margin.max(torch.tensor([0.0, 0, 0, 0]))
+    margin = margin.min(torch.tensor([W - 1.0, H - 1, W - 1, H - 1]))
+    mx0, my0, mx1, my1 = margin.ceil().to(torch.int32)
+
+    images = torch.nn.functional.pad(
+        images, pad=[mx0, mx1, my0, my1], mode="reflect"
+    )
+
+    def t2d(tx, ty):
+        return torch.tensor(
+            [[1.0, 0, tx], [0, 1.0, ty], [0, 0, 1.0]], dtype=torch.float32
+        )
+
+    def s2d(sx, sy):
+        return torch.tensor(
+            [[sx, 0, 0], [0, sy, 0], [0, 0, 1.0]], dtype=torch.float32
+        )
+
+    G_inv = t2d((mx0 - mx1) / 2, (my0 - my1) / 2) @ G_inv
+
+    conv_weight = torch.tensor(Hz[None, None, ::-1].copy()).tile(
+        [images.shape[1], 1, 1]
+    )
+    conv_pad = (len(Hz) + 1) // 2
+    images = torch.stack([images, torch.zeros_like(images)], dim=4).reshape(
+        N, C, images.shape[2], -1
+    )[:, :, :, :-1]
+    images = torch.nn.functional.conv2d(
+        images, conv_weight.unsqueeze(2), groups=images.shape[1],
+        padding=[0, conv_pad],
+    )
+    images = torch.stack([images, torch.zeros_like(images)], dim=3).reshape(
+        N, C, -1, images.shape[3]
+    )[:, :, :-1, :]
+    images = torch.nn.functional.conv2d(
+        images, conv_weight.unsqueeze(3), groups=images.shape[1],
+        padding=[conv_pad, 0],
+    )
+    G_inv = s2d(2, 2) @ G_inv @ s2d(0.5, 0.5)
+    G_inv = t2d(-0.5, -0.5) @ G_inv @ t2d(0.5, 0.5)
+
+    shape = [N, C, (H + Hz_pad * 2) * 2, (W + Hz_pad * 2) * 2]
+    G_inv = (
+        s2d(2 / images.shape[3], 2 / images.shape[2])
+        @ G_inv
+        @ s2d(shape[3] / 2, shape[2] / 2)
+    )
+    grid = torch.nn.functional.affine_grid(
+        theta=G_inv[:, :2, :], size=shape, align_corners=False
+    )
+    images = torch.nn.functional.grid_sample(
+        images, grid, mode="bilinear", padding_mode="zeros",
+        align_corners=False,
+    )
+
+    conv_weight = torch.tensor(Hz[None, None, :].copy()).tile(
+        [images.shape[1], 1, 1]
+    )
+    conv_pad = (len(Hz) - 1) // 2
+    images = torch.nn.functional.conv2d(
+        images, conv_weight.unsqueeze(2), groups=images.shape[1],
+        stride=[1, 2], padding=[0, conv_pad],
+    )[:, :, :, Hz_pad:-Hz_pad]
+    images = torch.nn.functional.conv2d(
+        images, conv_weight.unsqueeze(3), groups=images.shape[1],
+        stride=[2, 1], padding=[conv_pad, 0],
+    )[:, :, Hz_pad:-Hz_pad, :]
+    return images
+
+
+def test_antialiased_warp_matches_reference_transcription():
+    """Our static-margin anti-aliased warp must match the reference's
+    dynamic-margin execution elementwise across transform strengths
+    (VERDICT item 7 — the deviation is now closed, not just bounded)."""
+    torch = pytest.importorskip("torch")
+    from adm_tpu.core.augment import (
+        _antialiased_warp,
+        _rotate2d,
+        _scale2d,
+        _translate2d,
+    )
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(2, 16, 16, 3).astype(np.float32) * 2 - 1
+
+    cases = []
+    for theta, s, tx in [(0.0, 1.0, 0.0), (0.4, 1.2, 1.5), (-0.9, 0.7, -2.0),
+                         (2.4, 1.35, 3.0)]:
+        g = (
+            np.asarray(_scale2d(jnp.asarray([1 / s]), jnp.asarray([1 / s])))[0]
+            @ np.asarray(_rotate2d(jnp.asarray([theta])))[0]
+            @ np.asarray(_translate2d(jnp.asarray([-tx]), jnp.asarray([0.8])))[0]
+        )
+        cases.append(g)
+    g_inv = np.stack([cases[0], cases[1]]).astype(np.float32)
+    g_inv2 = np.stack([cases[2], cases[3]]).astype(np.float32)
+
+    for g in (g_inv, g_inv2):
+        ours = np.asarray(_antialiased_warp(jnp.asarray(img), jnp.asarray(g)))
+        ref = _ref_warp_torch(
+            torch.from_numpy(img.transpose(0, 3, 1, 2)),
+            torch.from_numpy(g),
+            torch,
+        ).numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(ours, ref, atol=2e-4)
