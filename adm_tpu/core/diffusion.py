@@ -421,7 +421,12 @@ class LatentDiffusion(DDPM):
         *,
         fs_params=None,
         unnormalize: bool = True,
+        ref: Optional[Array] = None,
     ):
+        """`ref` (latent-space) is consumed by the residual process: the
+        sampled residual is added to it before decoding, per
+        ddm/ddm_res.py:846-870 (x_rec = decode(ref + z), no scale inverse).
+        """
         h, w = self.image_size
         if cond is not None:
             batch_size = cond.shape[0]
@@ -469,7 +474,11 @@ class LatentDiffusion(DDPM):
                 final_clip=0.987654321 if self.scale_by_softsign else False,
                 start_scale=1.0,  # LDM init noise is NOT sigma_max-scaled (:655)
             )
-        if self.scale_by_std:
+        if self.process_name == "res":
+            if ref is None:
+                raise ValueError("residual LDM sampling needs a latent ref")
+            z = ref + z  # ddm/ddm_res.py:867: decode(ref + z), unscaled
+        elif self.scale_by_std:
             z = z / self.scale_factor
         elif self.scale_by_softsign:
             z = z / (1 - jnp.abs(z))
