@@ -1,5 +1,5 @@
 from adm_tpu.data.cifar10 import CIFAR10
-from adm_tpu.data.synthetic import SyntheticImages
+from adm_tpu.data.synthetic import ShapesDataset, SyntheticImages
 from adm_tpu.data.loader import batch_iterator
 from adm_tpu.data.image_folder import (
     ImageDataset,
@@ -24,6 +24,7 @@ from adm_tpu.data.paired import (
 __all__ = [
     "CIFAR10",
     "SyntheticImages",
+    "ShapesDataset",
     "batch_iterator",
     "ImageDataset",
     "ImageNetDataset",
