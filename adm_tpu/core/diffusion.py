@@ -60,10 +60,11 @@ class DDPM:
     sigma_max: float = 1.0
     weighting_loss: bool = False
     use_l1: bool = False
-    # main loss on (C, eps): 'l2' (MSE_Loss) or 'l1' (MAE_Loss), per the
-    # config's loss_main class_name (reference ddm/loss.py:292-389,
-    # reduction='sum' per sample; the depth configs train with MAE)
+    # main loss on (C, eps): 'l2' (MSE_Loss), 'l1' (MAE_Loss) or 'meadstd'
+    # (MEADSTD_TANH_NORM_Loss, depth configs), per the config's loss_main
+    # class_name (reference ddm/loss.py:150-226,292-389)
     loss_main: str = "l2"
+    loss_main_kwargs: Optional[dict] = None
     perceptual_weight: float = 0.0
     clip_x_start: bool = True
     scale_input: float = 1.0
@@ -184,7 +185,18 @@ class DDPM:
         else:
             w1 = w2 = jnp.ones_like(t)
 
-        main = _per_sample_abs if self.loss_main == "l1" else _per_sample_sq
+        if self.loss_main == "meadstd":
+            from adm_tpu.core.depth_loss import meadstd_tanh_norm_loss
+
+            kw = dict(self.loss_main_kwargs or {})
+
+            def main(a, b):
+                return meadstd_tanh_norm_loss(a, b, **kw)
+
+        elif self.loss_main == "l1":
+            main = _per_sample_abs
+        else:
+            main = _per_sample_sq
         loss_simple = w1 * main(drift_pred, drift) + w2 * main(noise_pred, noise)
         if self.use_l1:
             loss_simple = (

@@ -275,11 +275,21 @@ def build_model(
         cls = DDPM
 
     # loss_main sub-config selects the main regression loss
-    # (ddm/loss.py MSE_Loss vs MAE_Loss; depth configs use MAE)
+    # (ddm/loss.py: MSE_Loss / MAE_Loss / MEADSTD_TANH_NORM_Loss)
     loss_main = "l2"
+    loss_main_kwargs = None
     lm = cfg.get("loss_main")
-    if isinstance(lm, dict) and "MAE" in str(lm.get("class_name", "")):
-        loss_main = "l1"
+    if isinstance(lm, dict):
+        lm_name = str(lm.get("class_name", ""))
+        if "MEADSTD" in lm_name:
+            loss_main = "meadstd"
+            loss_main_kwargs = {
+                k: lm[k]
+                for k in ("valid_threshold", "max_threshold", "with_sigmoid")
+                if k in lm
+            }
+        elif "MAE" in lm_name:
+            loss_main = "l1"
 
     if net is None:
         net = build_unet(cfg["unet"], dtype=dtype)
@@ -345,6 +355,7 @@ def build_model(
         weighting_loss=bool(cfg.get("weighting_loss", False)),
         use_l1=bool(cfg.get("use_l1", False)),
         loss_main=loss_main,
+        loss_main_kwargs=loss_main_kwargs,
         perceptual_weight=float(cfg.get("perceptual_weight", 0.0)),
         clip_x_start=bool(cfg.get("clip_x_start", True)),
         scale_input=float(cfg.get("scale_input", 1.0)),

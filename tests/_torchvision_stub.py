@@ -223,6 +223,11 @@ def install():
     datasets.STL10 = _UnavailableDataset
     tv.datasets = datasets
 
+    def _unavailable_model(*a, **k):
+        raise RuntimeError("torchvision models are stubbed out")
+
+    models.vgg16 = _unavailable_model
+
     for name, mod in [
         ("torchvision", tv),
         ("torchvision.datasets", datasets),
