@@ -23,8 +23,65 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 Array = jax.Array
+
+
+def _batch0(mesh, sharding, ndim):
+    """Restrict a sharding to its leading (batch) axis; replicate the rest."""
+    spec = getattr(sharding, "spec", None)
+    lead = spec[0] if spec is not None and len(spec) else None
+    return NamedSharding(mesh, P(lead, *([None] * (ndim - 1))))
+
+
+def _make_partitioned(n_in, n_out, local_fn):
+    """Wrap `local_fn` (pure, batch-parallel over dim 0 of every operand and
+    result) so SPMD shards it over the data axis instead of replicating the
+    custom call — pallas_call alone gets no SPMD rule and would force
+    all-gathers on a multi-chip mesh. The batch ('b') factor is the only
+    shardable dimension; h/s/d must be fully local to the kernel."""
+
+    @custom_partitioning
+    def call(*args):
+        return local_fn(*args)
+
+    def infer(mesh, arg_shapes, result_shape):
+        shardings = tuple(
+            _batch0(mesh, arg_shapes[0].sharding, r.ndim)
+            for r in (
+                result_shape if isinstance(result_shape, tuple) else (result_shape,)
+            )
+        )
+        return shardings if n_out > 1 else shardings[0]
+
+    def partition(mesh, arg_shapes, result_shape):
+        results = (
+            result_shape if isinstance(result_shape, tuple) else (result_shape,)
+        )
+        arg_sh = tuple(
+            _batch0(mesh, a.sharding, a.ndim) for a in arg_shapes
+        )
+        res_sh = tuple(_batch0(mesh, arg_shapes[0].sharding, r.ndim) for r in results)
+        return (
+            mesh,
+            local_fn,
+            res_sh if n_out > 1 else res_sh[0],
+            arg_sh,
+        )
+
+    operand = "b h s d"
+    rule = (
+        ", ".join([operand] * n_in) + " -> " + ", ".join([operand] * n_out)
+    )
+    call.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=rule,
+        need_replication_factors=("h", "s", "d"),
+    )
+    return call
 
 
 def _softmax_rows(s):
@@ -108,7 +165,8 @@ def small_seq_attention(q: Array, k: Array, v: Array, scale: float,
     return o
 
 
-def _attn_fwd(q, k, v, scale, interpret):
+def _fwd_local(scale, interpret, q, k, v):
+    """Per-shard fwd on (B, H, S, D) — pure and batch-parallel over dim 0."""
     b, h, s, d = q.shape
     bh = b * h
     tile = _pick_tile(bh, s, d)
@@ -121,14 +179,13 @@ def _attn_fwd(q, k, v, scale, interpret):
         out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
         interpret=interpret,
     )(q.reshape(bh, s, d), k.reshape(bh, s, d), v.reshape(bh, s, d))
-    return o.reshape(q.shape), (q, k, v)
+    return o.reshape(q.shape)
 
 
-def _attn_bwd(scale, interpret, res, do):
-    q, k, v = res
+def _bwd_local(scale, interpret, q, k, v, do):
     b, h, s, d = q.shape
     bh = b * h
-    # the bwd working set is ~3x the fwd's; halve the tile
+    # the bwd working set is ~3x the fwd's; shrink the tile
     tile = _pick_tile(bh, s, 3 * d)
     spec = _bh_specs(s, d, tile)
     flat = jax.ShapeDtypeStruct((bh, s, d), q.dtype)
@@ -146,6 +203,26 @@ def _attn_bwd(scale, interpret, res, do):
         do.reshape(bh, s, d),
     )
     return dq.reshape(q.shape), dk.reshape(q.shape), dv.reshape(q.shape)
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_fwd(scale: float, interpret: bool):
+    return _make_partitioned(3, 1, functools.partial(_fwd_local, scale, interpret))
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_bwd(scale: float, interpret: bool):
+    return _make_partitioned(4, 3, functools.partial(_bwd_local, scale, interpret))
+
+
+def _attn_fwd(q, k, v, scale, interpret):
+    o = _partitioned_fwd(float(scale), bool(interpret))(q, k, v)
+    return o, (q, k, v)
+
+
+def _attn_bwd(scale, interpret, res, do):
+    q, k, v = res
+    return _partitioned_bwd(float(scale), bool(interpret))(q, k, v, do)
 
 
 small_seq_attention.defvjp(_attn_fwd, _attn_bwd)

@@ -94,14 +94,8 @@ def _run(kernel, seed, shape, dtype, rows, c, rb, interpret, extra=None):
     )(*args)
 
 
-def _apply(v: Array, key: Array, rate: float, emulate: bool) -> Array:
-    """mask-and-scale v; the mask depends only on (key, shape, rate)."""
-    if emulate:
-        # pure-JAX path for CPU tests / non-TPU backends: same semantics,
-        # different bits (pltpu.prng_* has no interpret-mode lowering)
-        keep = jax.random.bernoulli(key, 1.0 - rate, v.shape)
-        return v * keep.astype(v.dtype) / jnp.asarray(1.0 - rate, v.dtype)
-    seed = _seed_scalar(key)
+def _kernel_apply(rate: float, v: Array, seed: Array) -> Array:
+    """Local-shard pallas dropout on any-rank v (channels last)."""
     v2, rows, c = _as_2d(v)
     rb = _row_block(rows)
     threshold = min(int(round(rate * 2**32)), 2**32 - 1)
@@ -110,6 +104,54 @@ def _apply(v: Array, key: Array, rate: float, emulate: bool) -> Array:
     )
     y = _run(kern, seed, v.shape, v.dtype, rows, c, rb, False, extra=v2)
     return y.reshape(v.shape)
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_apply(rate: float, ndim: int):
+    """Batch-dim SPMD rule: pallas_call has none, so a multi-chip mesh
+    would replicate (all-gather) around the kernel. Only dim 0 shards; the
+    per-shard masks reuse the same seed stream (statistically benign —
+    identical mask PATTERNS applied to different examples)."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    @custom_partitioning
+    def call(v, seed):
+        return _kernel_apply(rate, v, seed)
+
+    def _b0(mesh, sharding):
+        spec = getattr(sharding, "spec", None)
+        lead = spec[0] if spec is not None and len(spec) else None
+        return NamedSharding(mesh, P(lead, *([None] * (ndim - 1))))
+
+    def infer(mesh, arg_shapes, result_shape):
+        return _b0(mesh, arg_shapes[0].sharding)
+
+    def partition(mesh, arg_shapes, result_shape):
+        sh = _b0(mesh, arg_shapes[0].sharding)
+        seed_sh = NamedSharding(mesh, P(None))
+        return mesh, functools.partial(_kernel_apply, rate), sh, (sh, seed_sh)
+
+    dims = " ".join(f"d{i}" for i in range(ndim))
+    call.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=f"{dims}, s -> {dims}",
+        need_replication_factors=tuple(f"d{i}" for i in range(1, ndim))
+        + ("s",),
+    )
+    return call
+
+
+def _apply(v: Array, key: Array, rate: float, emulate: bool) -> Array:
+    """mask-and-scale v; the mask depends only on (key, shape, rate)."""
+    if emulate:
+        # pure-JAX path for CPU tests / non-TPU backends: same semantics,
+        # different bits (pltpu.prng_* has no interpret-mode lowering)
+        keep = jax.random.bernoulli(key, 1.0 - rate, v.shape)
+        return v * keep.astype(v.dtype) / jnp.asarray(1.0 - rate, v.dtype)
+    seed = _seed_scalar(key)
+    return _partitioned_apply(float(rate), v.ndim)(v, seed)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))

@@ -56,3 +56,36 @@ def test_bfloat16_io(rng):
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2
     )
+
+
+def test_batch_sharded_execution(rng):
+    """Under a data-sharded pjit the kernel must partition over the batch
+    axis (custom_partitioning sharding rule), not replicate."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from adm_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    b, h, s, d = 8, 2, 64, 32
+    q = jax.random.normal(rng, (b, h, s, d), jnp.float32)
+    sh = NamedSharding(mesh, P("data"))
+    qs = jax.device_put(q, sh)
+
+    @jax.jit
+    def run(q):
+        return small_seq_attention(q, q, q, 0.125, True)
+
+    out = run(qs)
+    assert out.sharding.is_equivalent_to(sh, 4)
+    ref = attention_reference(q, q, q, 0.125)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    # gradients partition too
+    @jax.jit
+    def grad_run(q):
+        return jax.grad(
+            lambda v: jnp.sum(small_seq_attention(v, v, v, 0.125, True))
+        )(q)
+
+    g = grad_run(qs)
+    assert g.shape == q.shape
+    assert np.isfinite(np.asarray(g)).all()
