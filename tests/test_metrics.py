@@ -175,11 +175,16 @@ def test_fid_pipeline_end_to_end_vs_reference():
 
     from adm_tpu.metrics.inception import FIDInceptionV3, convert_inception
 
-    ref = _random_torch_extractor(["2048"])
+    # the '64' tap (3 convs deep) retains strong input sensitivity under
+    # random weights; the deep taps wash inputs out to near-identical
+    # feature distributions (FID ~5e-4, below cross-impl sqrtm noise) and
+    # their elementwise parity is covered separately by
+    # test_inception_architecture_parity
+    ref = _random_torch_extractor(["64"])
     params = jax.tree_util.tree_map(
         jnp.asarray, convert_inception(ref.state_dict())
     )
-    ours = FIDInceptionV3(features_list=("2048",))
+    ours = FIDInceptionV3(features_list=("64",))
 
     rng_np = np.random.RandomState(7)
     n = 128
@@ -187,16 +192,9 @@ def test_fid_pipeline_end_to_end_vs_reference():
     imgs1 = rng_np.randint(0, 256, (n, 3, 32, 32)).astype(np.uint8)
     imgs2 = np.zeros((n, 3, 32, 32), np.uint8)
 
-    # With N=128 samples the 2048-dim covariance is rank-deficient and
-    # scipy's sqrtm of the singular product is numerically ill-posed (it
-    # warns "Matrix is singular"), so implementations legitimately diverge.
-    # Slice to 64 feature dims on BOTH sides: full-rank statistics, same
-    # reference code path end-to-end.
-    dims = 64
-
     def torch_feats(imgs):
         with torch.no_grad():
-            return ref(torch.from_numpy(imgs))[0].to(torch.float64)[:, :dims]
+            return ref(torch.from_numpy(imgs))[0].to(torch.float64)
 
     stat1 = fid_features_to_statistics(torch_feats(imgs1))
     stat2 = fid_features_to_statistics(torch_feats(imgs2))
@@ -206,11 +204,11 @@ def test_fid_pipeline_end_to_end_vs_reference():
 
     def jax_feats(imgs):
         return ours.apply(params, jnp.asarray(imgs.transpose(0, 2, 3, 1)))[
-            "2048"
-        ][:, :dims]
+            "64"
+        ]
 
     fid_jax = float(compute_fid(jax_feats(imgs1), jax_feats(imgs2)))
-    assert fid_torch > 1e-4, "degenerate test: FID should be nonzero"
+    assert fid_torch > 1.0, "degenerate test: FID should be O(1)"
     np.testing.assert_allclose(fid_jax, fid_torch, rtol=2e-2)
 
 
