@@ -63,6 +63,17 @@ def to_neg_one_one(img: np.ndarray) -> np.ndarray:
     return x * 2.0 - 1.0
 
 
+def load_with_retry(load, index: int, n: int):
+    """Corrupt-file resilience (reference ddm/data.py:997-1004): a truncated
+    JPEG mid-run retries a random other sample instead of killing training."""
+    for _ in range(100):
+        try:
+            return load(index)
+        except (FileNotFoundError, OSError, ValueError):
+            index = int(np.random.randint(n))
+    raise RuntimeError("100 consecutive unreadable samples — check the dataset")
+
+
 class ImageDataset:
     """Generic image folder (CelebA-HQ etc., ddm/data.py:145-185)."""
 
@@ -84,6 +95,9 @@ class ImageDataset:
         return len(self.paths)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        return load_with_retry(self._load, index, len(self))
+
+    def _load(self, index: int) -> Dict[str, np.ndarray]:
         img = load_image(self.paths[index])
         img = resize(img, self.image_size)
         if self.flip and np.random.rand() < 0.5:
@@ -94,7 +108,7 @@ class ImageDataset:
 class ImageNetDataset(ImageDataset):
     """Folder + random-crop variant (ddm/data.py:187-240)."""
 
-    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+    def _load(self, index: int) -> Dict[str, np.ndarray]:
         rng = np.random.RandomState(np.random.randint(2**31))
         img = load_image(self.paths[index])
         h, w = img.shape[:2]
@@ -131,6 +145,9 @@ class ImageMaskDataset:
         return len(self.img_paths)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        return load_with_retry(self._load, index, len(self))
+
+    def _load(self, index: int) -> Dict[str, np.ndarray]:
         img = resize(load_image(self.img_paths[index]), self.image_size)
         out = {}
         if self.mask_paths:

@@ -21,6 +21,7 @@ import numpy as np
 from adm_tpu.data.image_folder import (
     list_images,
     load_image,
+    load_with_retry,
     random_crop,
     resize,
     to_neg_one_one,
@@ -163,15 +164,7 @@ class SRDatasetTest(SRDataset):
         }
 
 
-def _load_with_retry(load, index: int, n: int):
-    """Corrupt-file resilience (reference ddm/data.py:997-1004): a truncated
-    JPEG mid-run retries a random other sample instead of killing training."""
-    for _ in range(100):
-        try:
-            return load(index)
-        except (FileNotFoundError, OSError, ValueError):
-            index = int(np.random.randint(n))
-    raise RuntimeError("100 consecutive unreadable samples — check the dataset")
+_load_with_retry = load_with_retry
 
 
 def _rglob_images(folder: str, exts=(".jpg",)):
