@@ -145,6 +145,11 @@ class Conv2d(nn.Module):
     init_mode: str = "kaiming_normal"
     init_weight: float = 1.0
     init_bias: float = 0.0
+    # experimental: route plain stride-1 3x3 convs through the K-packed
+    # Pallas kernel (nn/pallas/conv3x3.py). Measured to LOSE to XLA at the
+    # flagship's shapes except a +4% edge at 16x16x384 (see the kernel's
+    # docstring) — off by default; kept for experiments on other models.
+    use_pallas_conv: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -187,6 +192,15 @@ class Conv2d(nn.Module):
         f_pad = (len(self.resample_filter) - 1) // 2
 
         def wconv(h, pad):
+            if (
+                self.use_pallas_conv
+                and self.kernel == 3
+                and pad == 1
+                and jax.default_backend() in ("tpu", "axon")
+            ):
+                from adm_tpu.nn.pallas.conv3x3 import conv3x3_same
+
+                return conv3x3_same(h, w)
             return jax.lax.conv_general_dilated(
                 h,
                 w,

@@ -134,6 +134,62 @@ def attn():
         emit(exp="attn", shape=f"b{b}h{heads}s{seq}d{d}", ms=round(dt * 1e3, 3))
 
 
+def conv_pallas():
+    """K-packed Pallas conv3x3 vs XLA at the flagship's hot shapes (fwd
+    and fwd+bwd), scan-amortized and fenced."""
+    from adm_tpu.nn.pallas.conv3x3 import conv3x3_same
+
+    for (b, h, w, cin, cout) in [
+        (128, 32, 32, 192, 192),
+        (128, 16, 16, 384, 384),
+        (128, 8, 8, 384, 384),
+    ]:
+        x = jnp.ones((b, h, w, cin), jnp.bfloat16) * 0.1
+        k = jnp.ones((3, 3, cin, cout), jnp.bfloat16) * 0.01
+        n = 40
+        flops = 2 * b * h * w * cin * cout * 9
+
+        def xla_conv(y, kk):
+            return jax.lax.conv_general_dilated(
+                y, kk, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        for name, conv in (("pallas", conv3x3_same), ("xla", xla_conv)):
+
+            @jax.jit
+            def run_fwd(x, k, conv=conv):
+                def body(y, _):
+                    z = conv(y, k)
+                    return z[..., :cin] * jnp.bfloat16(0.5), ()
+
+                y, _ = jax.lax.scan(body, x, None, length=n)
+                return y
+
+            dt = timed(run_fwd, x, k) / n
+            emit(exp="conv_pallas", variant=f"{name}_fwd",
+                 shape=f"{b}x{h}x{w}x{cin}->{cout}",
+                 ms=round(dt * 1e3, 3), mfu=round(flops / dt / PEAK_BF16, 3))
+
+            @jax.jit
+            def run_bwd(x, k, conv=conv):
+                def body(y, _):
+                    def f(yv, kv):
+                        return jnp.sum(conv(yv, kv).astype(jnp.float32) ** 2)
+
+                    dy, dk = jax.grad(f, argnums=(0, 1))(y, k)
+                    return (dy + dk.sum() * 0).astype(jnp.bfloat16), ()
+
+                y, _ = jax.lax.scan(body, x, None, length=n)
+                return y
+
+            dt = timed(run_bwd, x, k) / n
+            emit(exp="conv_pallas", variant=f"{name}_fwd+bwd",
+                 shape=f"{b}x{h}x{w}x{cin}->{cout}",
+                 ms=round(dt * 1e3, 3),
+                 mfu=round(3 * flops / dt / PEAK_BF16, 3))
+
+
 def attn_pallas():
     """Pallas VMEM-resident attention vs the XLA einsum path."""
     from adm_tpu.nn.pallas.attention import small_seq_attention
@@ -222,6 +278,7 @@ def fwd_only():
 
 EXPS = {
     "conv_mfu": conv_mfu,
+    "conv_pallas": conv_pallas,
     "gn_chain": gn_chain,
     "attn": attn,
     "attn_pallas": attn_pallas,
