@@ -30,18 +30,21 @@ Array = jax.Array
 
 
 def _batch0(mesh, sharding, ndim):
-    """Restrict a sharding to its leading (batch) axis; replicate the rest."""
+    """Keep the (batch, head) axes of a sharding; replicate s/d. Heads
+    shard under tensor parallelism (parallel/tp.py): attention is
+    independent per head, and the kernel flattens local b*h."""
     spec = getattr(sharding, "spec", None)
     lead = spec[0] if spec is not None and len(spec) else None
-    return NamedSharding(mesh, P(lead, *([None] * (ndim - 1))))
+    head = spec[1] if spec is not None and len(spec) > 1 else None
+    return NamedSharding(mesh, P(lead, head, *([None] * (ndim - 2))))
 
 
 def _make_partitioned(n_in, n_out, local_fn):
-    """Wrap `local_fn` (pure, batch-parallel over dim 0 of every operand and
-    result) so SPMD shards it over the data axis instead of replicating the
-    custom call — pallas_call alone gets no SPMD rule and would force
-    all-gathers on a multi-chip mesh. The batch ('b') factor is the only
-    shardable dimension; h/s/d must be fully local to the kernel."""
+    """Wrap `local_fn` (pure, batch-parallel over dims 0-1 of every operand
+    and result) so SPMD shards it over the data (and optionally model/head)
+    axes instead of replicating the custom call — pallas_call alone gets no
+    SPMD rule and would force all-gathers on a multi-chip mesh. s/d must be
+    fully local to the kernel."""
 
     @custom_partitioning
     def call(*args):
@@ -79,7 +82,7 @@ def _make_partitioned(n_in, n_out, local_fn):
         partition,
         infer_sharding_from_operands=infer,
         sharding_rule=rule,
-        need_replication_factors=("h", "s", "d"),
+        need_replication_factors=("s", "d"),
     )
     return call
 

@@ -108,10 +108,12 @@ def _kernel_apply(rate: float, v: Array, seed: Array) -> Array:
 
 @functools.lru_cache(maxsize=None)
 def _partitioned_apply(rate: float, ndim: int):
-    """Batch-dim SPMD rule: pallas_call has none, so a multi-chip mesh
-    would replicate (all-gather) around the kernel. Only dim 0 shards; the
-    per-shard masks reuse the same seed stream (statistically benign —
-    identical mask PATTERNS applied to different examples)."""
+    """Pass-through SPMD rule: pallas_call has none, so a multi-chip mesh
+    would replicate (all-gather) around the kernel. The op is elementwise,
+    so ANY input sharding (batch on 'data', channels on 'model' under
+    tensor parallelism) is preserved — each shard draws its own PRNG
+    stream, so the mask PATTERN depends on the layout; statistically
+    benign, exactly like the per-program streams on one chip."""
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -119,16 +121,18 @@ def _partitioned_apply(rate: float, ndim: int):
     def call(v, seed):
         return _kernel_apply(rate, v, seed)
 
-    def _b0(mesh, sharding):
+    def _vsh(mesh, sharding):
         spec = getattr(sharding, "spec", None)
-        lead = spec[0] if spec is not None and len(spec) else None
-        return NamedSharding(mesh, P(lead, *([None] * (ndim - 1))))
+        if spec is None:
+            return NamedSharding(mesh, P(*([None] * ndim)))
+        pad = [None] * (ndim - len(spec))
+        return NamedSharding(mesh, P(*(list(spec) + pad)))
 
     def infer(mesh, arg_shapes, result_shape):
-        return _b0(mesh, arg_shapes[0].sharding)
+        return _vsh(mesh, arg_shapes[0].sharding)
 
     def partition(mesh, arg_shapes, result_shape):
-        sh = _b0(mesh, arg_shapes[0].sharding)
+        sh = _vsh(mesh, arg_shapes[0].sharding)
         seed_sh = NamedSharding(mesh, P(None))
         return mesh, functools.partial(_kernel_apply, rate), sh, (sh, seed_sh)
 
@@ -137,8 +141,7 @@ def _partitioned_apply(rate: float, ndim: int):
         partition,
         infer_sharding_from_operands=infer,
         sharding_rule=f"{dims}, s -> {dims}",
-        need_replication_factors=tuple(f"d{i}" for i in range(1, ndim))
-        + ("s",),
+        need_replication_factors=("s",),
     )
     return call
 

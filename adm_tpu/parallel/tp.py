@@ -1,0 +1,104 @@
+"""Tensor-parallel (channel) shardings for the UNet family — optional,
+beyond-reference capability on the mesh's 'model' axis.
+
+The reference's only parallelism is DDP (SURVEY.md §2.11); adm_tpu matches
+that with the 'data' axis and reserves 'model'. This module populates the
+reserved axis Megatron-style for the UNetBlock stack
+(nn/blocks.py UNetBlock; reference block: unet/uncond_unet.py:157-211):
+
+  column-parallel           row-parallel            local between them
+  conv0: Cout sharded   ->  conv1: Cin sharded      GN+SiLU (see below)
+  qkv:   Cout (heads)   ->  proj:  Cin (heads)      softmax per head
+
+Why the in-between ops stay local (no collectives inside a block):
+  * GroupNorm groups are CONTIGUOUS channel blocks (min(32, C//4) groups,
+    nn/blocks.py GroupNorm) and GSPMD shards dims contiguously, so a
+    'model'-sharded channel dim keeps every group on one device when
+    n_groups % tp == 0 — group statistics need no cross-device reduction.
+  * The qkv conv's output channels factorize head-major ((b, hw, heads, 3,
+    d) reshape in UNetBlock), so a contiguous Cout shard IS a head shard;
+    attention is independent per head.
+  * conv1/proj contract the sharded dim -> XLA inserts one psum per block,
+    after which activations are replicated for the skip add — the same
+    two-collectives-per-block structure as Megatron's MLP/attention pair.
+
+Everything else (embedding MLPs, skip 1x1, first/last convs, GN affines,
+the per-block `affine` modulation Linear) is replicated: tiny FLOPs, and
+replication keeps the scale/shift split and decoder skip-concats local.
+
+Guards: a kernel is only sharded when the channel dim divides tp AND the
+downstream GroupNorm keeps whole groups per shard AND (for qkv) whole
+heads per shard; anything else falls back to replicated — the resulting
+program is always valid GSPMD, just less sharded.
+
+Usage:
+    mesh = make_mesh(n_data=2, n_model=4)
+    shardings = tp_state_shardings(state, mesh)  # TrainState of NamedSharding
+    jitted = jax.jit(step, in_shardings=(shardings, data, rep),
+                     out_shardings=(shardings, rep), donate_argnums=(0,))
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# column-parallel modules: shard the OUTPUT channel dim of their kernel
+_COL = ("conv0", "qkv")
+# row-parallel modules: shard the INPUT channel dim (contraction -> psum)
+_ROW = ("conv1", "proj")
+_CHANNELS_PER_HEAD = 64  # UNetBlock default (nn/blocks.py)
+
+
+def _groups_local(c: int, tp: int) -> bool:
+    """True iff min(32, c//4) GroupNorm groups split evenly across tp."""
+    groups = min(32, max(c // 4, 1))
+    return groups % tp == 0 and c % tp == 0
+
+
+def _spec_for(names, shape, tp: int) -> P:
+    if len(names) < 2 or tp <= 1:
+        return P()
+    mod, leaf = names[-2], names[-1]
+    if leaf == "kernel" and len(shape) == 4:
+        cin, cout = shape[2], shape[3]
+        if mod == "conv0" and _groups_local(cout, tp):
+            return P(None, None, None, "model")
+        if mod == "qkv":
+            heads = cout // (3 * _CHANNELS_PER_HEAD)
+            if heads >= tp and heads % tp == 0:
+                return P(None, None, None, "model")
+        if mod in _ROW and cin % tp == 0:
+            # conv1's Cin equals conv0's Cout; proj's Cin equals the head
+            # concat — both sharded by the matching column-parallel producer
+            return P(None, None, "model", None)
+    if leaf == "bias" and len(shape) == 1:
+        if mod == "conv0" and _groups_local(shape[0], tp):
+            return P("model")
+        if mod == "qkv":
+            heads = shape[0] // (3 * _CHANNELS_PER_HEAD)
+            if heads >= tp and heads % tp == 0:
+                return P("model")
+    return P()
+
+
+def tp_param_shardings(params: Any, mesh: Mesh) -> Any:
+    """NamedSharding pytree mirroring `params` (works for any tree whose
+    leaf paths end in <module>/<kernel|bias>, including optax mu/nu trees
+    and EMA copies)."""
+    tp = mesh.shape.get("model", 1)
+
+    def one(path, leaf):
+        names = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
+        shape = getattr(leaf, "shape", ())
+        return NamedSharding(mesh, _spec_for(names, shape, tp))
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def tp_state_shardings(state: Any, mesh: Mesh) -> Any:
+    """TrainState-shaped sharding tree: params/ema/opt moments get the TP
+    rules (their leaf paths embed the param paths); scalars replicate."""
+    return tp_param_shardings(state, mesh)

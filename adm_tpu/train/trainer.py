@@ -208,11 +208,20 @@ class Trainer:
         )
         rep = replicated_sharding(self.mesh)
         dat = data_sharding(self.mesh)
-        self.state = jax.device_put(self.state, rep)
+        if self.mesh.shape.get("model", 1) > 1:
+            # tensor parallelism over the reserved 'model' axis: Megatron-
+            # style channel shardings for params/opt/ema (parallel/tp.py);
+            # a mesh with n_model > 1 opts in, the default mesh is pure DP
+            from adm_tpu.parallel.tp import tp_state_shardings
+
+            state_sh = tp_state_shardings(self.state, self.mesh)
+        else:
+            state_sh = rep
+        self.state = jax.device_put(self.state, state_sh)
         self._step = jax.jit(
             step_fn,
-            in_shardings=(rep, dat, rep),
-            out_shardings=(rep, rep),
+            in_shardings=(state_sh, dat, rep),
+            out_shardings=(state_sh, rep),
             donate_argnums=(0,),
         )
         self._sample = jax.jit(
