@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from adm_tpu.data.loader import batch_iterator
+from adm_tpu.data.loader import batch_iterator, prefetch_iterator
 from adm_tpu.train.state import EmaConfig
 from adm_tpu.train.trainer import Trainer
 from adm_tpu.utils.config import build_dataset, build_model, load_conf
@@ -102,7 +102,11 @@ def run_training(args, *, conditional: bool, latent: bool):
             data_cfg["batch_size"],
             process_index=jax.process_index(),
             process_count=jax.process_count(),
+            # reference DataLoader(num_workers=N) (train_uncond_dpm.py:87);
+            # threads here — PIL/numpy release the GIL during decode
+            num_workers=int(data_cfg.get("num_workers", 0)),
         )
+        data_iter = prefetch_iterator(data_iter)
 
     first_batch = next(data_iter)
     # default_scale: keep the configured scale_factor instead of calibrating

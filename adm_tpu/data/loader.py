@@ -1,6 +1,14 @@
-"""Infinite shuffled batch iterator (host side).
+"""Infinite shuffled batch iterator (host side) with threaded decode and
+background prefetch.
 
-Replaces the reference's DataLoader+cycle (train_uncond_dpm.py:87,167).
+Replaces the reference's DataLoader(num_workers=N)+cycle
+(train_uncond_dpm.py:87,167; workers at train_uncond_dpm.py:87). The
+reference parallelizes with fork-based worker processes; here decode
+parallelism uses a thread pool (PIL/numpy release the GIL during JPEG/PNG
+decode and resize — threads avoid fork+pickle costs and play nice with a
+live TPU client), and `prefetch_iterator` overlaps the NEXT batch's host
+work with the current device step.
+
 Per-process sharding for multi-host runs: pass process_index/process_count —
 each host iterates a disjoint shard and builds its slice of the global batch
 (jax.make_array_from_process_local_data upstream).
@@ -8,9 +16,21 @@ each host iterates a disjoint shard and builds its slice of the global batch
 
 from __future__ import annotations
 
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator
 
 import numpy as np
+
+
+def _collate(items) -> Dict[str, np.ndarray]:
+    return {
+        k: np.stack([it[k] for it in items]).astype(np.float32)
+        if np.asarray(items[0][k]).dtype != np.int32
+        else np.stack([it[k] for it in items])
+        for k in items[0]
+    }
 
 
 def batch_iterator(
@@ -22,22 +42,53 @@ def batch_iterator(
     process_index: int = 0,
     process_count: int = 1,
     drop_last: bool = True,
+    num_workers: int = 0,
 ) -> Iterator[Dict[str, np.ndarray]]:
     n = len(dataset)
     idx_all = np.arange(n)[process_index::process_count]
     rng = np.random.RandomState(seed + process_index)
     local_bs = batch_size // process_count
     assert local_bs > 0, "batch_size must be >= process_count"
+    pool = ThreadPoolExecutor(num_workers) if num_workers > 0 else None
+
+    def load(sel):
+        if pool is not None:
+            return list(pool.map(lambda i: dataset[int(i)], sel))
+        return [dataset[int(i)] for i in sel]
+
     while True:
         order = rng.permutation(idx_all) if shuffle else idx_all
         for start in range(0, len(order) - (local_bs - 1 if drop_last else 0), local_bs):
             sel = order[start : start + local_bs]
             if drop_last and len(sel) < local_bs:
                 break
-            items = [dataset[int(i)] for i in sel]
-            yield {
-                k: np.stack([it[k] for it in items]).astype(np.float32)
-                if np.asarray(items[0][k]).dtype != np.int32
-                else np.stack([it[k] for it in items])
-                for k in items[0]
-            }
+            yield _collate(load(sel))
+
+
+def prefetch_iterator(it: Iterator, depth: int = 2) -> Iterator:
+    """Run `it` in a daemon thread, keeping up to `depth` items ready.
+
+    Host-side analogue of the reference DataLoader's worker prefetch: the
+    next batch's disk reads/decodes overlap the current device step.
+    Exceptions in the producer re-raise at the consumer.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END, _ERR = object(), object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # noqa: BLE001 — re-raised at consumer
+            q.put((_ERR, e))
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+            raise item[1]
+        yield item

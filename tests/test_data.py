@@ -113,3 +113,42 @@ def test_batch_iterator_sharding(img_dir):
     b0, b1 = next(it0), next(it1)
     assert b0["image"].shape == (2, 16, 16, 3)  # local batch = 4/2
     assert not np.allclose(b0["image"], b1["image"])  # disjoint shards
+
+
+def test_batch_iterator_workers_and_prefetch(img_dir):
+    """Threaded decode + background prefetch yield identical batches to the
+    synchronous path (same seed => same order)."""
+    from adm_tpu.data.loader import prefetch_iterator
+
+    d, _ = img_dir
+    ds = ImageDataset(d, image_size=(16, 16))
+    sync = batch_iterator(ds, 4, seed=7, shuffle=True)
+    par = prefetch_iterator(
+        batch_iterator(ds, 4, seed=7, shuffle=True, num_workers=2), depth=2
+    )
+    for _ in range(3):
+        a, b = next(sync), next(par)
+        np.testing.assert_allclose(a["image"], b["image"])
+
+
+def test_prefetch_iterator_propagates_errors():
+    from adm_tpu.data.loader import prefetch_iterator
+
+    def boom():
+        yield 1
+        raise ValueError("producer failed")
+
+    it = prefetch_iterator(boom(), depth=1)
+    assert next(it) == 1
+    try:
+        next(it)
+    except ValueError as e:
+        assert "producer failed" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
+
+
+def test_prefetch_iterator_finite():
+    from adm_tpu.data.loader import prefetch_iterator
+
+    assert list(prefetch_iterator(iter(range(5)), depth=2)) == list(range(5))
