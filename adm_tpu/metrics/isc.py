@@ -9,6 +9,9 @@ import jax.numpy as jnp
 def inception_score(logits_unbiased, splits: int = 10):
     """logits (N, C) -> (mean, std) of exp(E KL(p(y|x) || p(y))) per split."""
     n = logits_unbiased.shape[0]
+    # guard tiny N (n < splits would create empty splits -> NaN); for the
+    # reference's N >= splits regime this is the identity
+    splits = max(1, min(splits, n))
     scores = []
     for i in range(splits):
         part = logits_unbiased[i * n // splits : (i + 1) * n // splits]

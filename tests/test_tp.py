@@ -133,3 +133,25 @@ def test_pallas_rules_preserve_tp_shardings(rng):
 
     o = attn(qs)
     assert o.sharding.is_equivalent_to(NamedSharding(mesh, P("data", "model")), 4)
+
+
+def test_spatial_sharding_forward_matches_replicated(rng):
+    """Spatial (H-axis) sharding of the UNet forward over 'model' — the
+    SURVEY §5.7 'large image' move (2D-sharded feature maps; XLA inserts
+    halo exchanges for the convs). Correctness vs the replicated run."""
+    model = _tiny_model()
+    params = model.init(jax.random.PRNGKey(0))
+    mesh = make_mesh(n_data=2, n_model=4)
+    x = jax.random.normal(rng, (4, 16, 16, 3), jnp.float32)
+    t = jnp.full((4,), 0.4, jnp.float32)
+
+    def fwd(p, xv, tv):
+        return model.net.apply(p, xv, tv)
+
+    ref = jax.jit(fwd)(params, x, t)
+    sp = NamedSharding(mesh, P("data", "model"))
+    out = jax.jit(fwd)(params, jax.device_put(x, sp), t)
+    for a, b in zip(jax.tree_util.tree_leaves(ref), jax.tree_util.tree_leaves(out)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4
+        )
