@@ -151,6 +151,7 @@ class Trainer:
         resume_milestone: int = 0,
         mesh=None,
         fs_params=None,
+        fsdp: bool = False,
         seed: int = 0,
         sample_batch_size: int = 16,
         nan_guard: bool = True,
@@ -208,7 +209,16 @@ class Trainer:
         )
         rep = replicated_sharding(self.mesh)
         dat = data_sharding(self.mesh)
-        if self.mesh.shape.get("model", 1) > 1:
+        n_model = self.mesh.shape.get("model", 1)
+        if fsdp and self.mesh.shape.get("data", 1) > 1:
+            # ZeRO-3 style param/opt/EMA sharding over 'data'
+            # (parallel/fsdp.py); layers under tp when n_model > 1
+            from adm_tpu.parallel.fsdp import fsdp_state_shardings
+
+            state_sh = fsdp_state_shardings(
+                self.state, self.mesh, with_tp=n_model > 1
+            )
+        elif n_model > 1:
             # tensor parallelism over the reserved 'model' axis: Megatron-
             # style channel shardings for params/opt/ema (parallel/tp.py);
             # a mesh with n_model > 1 opts in, the default mesh is pure DP
