@@ -31,6 +31,17 @@ def list_images(folder: str, recursive: bool = True):
 
 
 def load_image(path: str, mode: str = "RGB") -> np.ndarray:
+    # RGB goes through the native C++ decoder when built (bit-exact vs
+    # PIL for JPEG+PNG, tests/test_native_decode.py; GIL-free so the
+    # loader's thread pool actually parallelizes); PIL covers everything
+    # else and is the automatic fallback
+    if mode == "RGB":
+        from adm_tpu.data.native import decode
+
+        try:
+            return decode(path)
+        except OSError:
+            pass  # non-jpeg/png (bmp/webp) or corrupt: let PIL decide
     from PIL import Image
 
     with Image.open(path) as im:
