@@ -1,0 +1,88 @@
+"""Export a trained sampler as a standalone StableHLO artifact.
+
+The serving counterpart of the training CLIs: loads a milestone
+checkpoint, AOT-serializes the FULL sampling program (adm_tpu/serve) for
+the requested platforms, and writes <out>.stablehlo plus the weights as
+<out>.params.npz if asked. A server then needs only `jax.export` +
+the artifact — no model zoo, configs, or flax.
+
+Usage:
+    python -m adm_tpu.cli.export_model --cfg cfg.yaml --milestone 10 \
+        --out model --platforms tpu cpu
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from adm_tpu.serve import export_sampler
+from adm_tpu.train.state import TrainState
+from adm_tpu.train.trainer import make_optimizer
+from adm_tpu.utils.config import build_model, load_conf
+
+log = logging.getLogger("adm_tpu")
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    p = argparse.ArgumentParser(description="export sampler to StableHLO")
+    p.add_argument("--cfg", required=True)
+    p.add_argument("--milestone", type=int, default=None)
+    p.add_argument("--ckpt-path", default=None)
+    p.add_argument("--out", required=True, help="output stem")
+    p.add_argument("--platforms", nargs="+", default=["tpu", "cpu"])
+    p.add_argument("--use-ema", action="store_true", default=True)
+    p.add_argument("--no-ema", dest="use_ema", action="store_false")
+    p.add_argument("--fixed-batch", type=int, default=None,
+                   help="export a fixed batch instead of symbolic")
+    p.add_argument("--save-params", action="store_true",
+                   help="also write <out>.params.npz")
+    args = p.parse_args(argv)
+
+    cfg = load_conf(args.cfg)
+    model = build_model(cfg["model"])
+
+    import orbax.checkpoint as ocp
+
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer, _ = make_optimizer(1e-4, total_steps=1)
+    state = TrainState.create(params, optimizer.init(params))
+    ckpt = args.ckpt_path or cfg.get("sampler", {}).get("ckpt_path")
+    if args.milestone is not None:
+        ckpt = str(
+            Path(cfg["trainer"]["results_folder"]) / f"model-{args.milestone}"
+        )
+    if ckpt:
+        with ocp.StandardCheckpointer() as ckptr:
+            state = ckptr.restore(os.path.abspath(ckpt), state)
+        log.info("restored %s (step %d)", ckpt, int(state.step))
+    else:
+        log.warning("no checkpoint given — exporting with INITIAL weights")
+    weights = state.ema_params if args.use_ema else state.params
+
+    data = export_sampler(
+        model,
+        weights,
+        path=f"{args.out}.stablehlo",
+        platforms=args.platforms,
+        symbolic_batch=args.fixed_batch is None,
+    )
+    log.info("wrote %s.stablehlo (%.1f KiB)", args.out, len(data) / 1024)
+    if args.save_params:
+        flat = {
+            "/".join(str(getattr(k, "key", k)) for k in path): np.asarray(v)
+            for path, v in jax.tree_util.tree_flatten_with_path(weights)[0]
+        }
+        np.savez(f"{args.out}.params.npz", **flat)
+        log.info("wrote %s.params.npz (%d arrays)", args.out, len(flat))
+    return data
+
+
+if __name__ == "__main__":
+    main()

@@ -293,7 +293,7 @@ class DDPM:
                     self.process, fn, shape, key, self.sampling_timesteps,
                     clip_x_start=self.clip_x_start, scale_input=self.scale_input,
                     unnormalize=False, final_clip=False, step_grid="quadratic",
-                    start_scale=1.0,
+                    start_scale=1.0, init_noise=init_noise,
                 )
             img = jnp.clip(ref + res, -1.0, 1.0)
             return sampling.unnormalize_to_zero_to_one(img) if unnormalize else img
@@ -328,6 +328,7 @@ class DDPM:
             # const's init-noise sigma_max scaling is commented out upstream
             # (ddm_const.py:393-394); const2/linear keep it (ddm_const_2.py:646)
             start_scale=1.0 if self.process_name in ("const", "res") else None,
+            init_noise=init_noise,
         )
 
 
