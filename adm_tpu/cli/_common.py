@@ -142,6 +142,8 @@ def run_training(args, *, conditional: bool, latent: bool):
         resume_milestone=int(train_cfg.get("resume_milestone", 0)),
         fs_params=fs_params,
         sample_batch_size=min(int(data_cfg["batch_size"]), 64),
+        # ZeRO-3-style param/opt/EMA sharding over 'data' (parallel/fsdp.py)
+        fsdp=bool(train_cfg.get("fsdp", False)),
     )
 
     sample_cond = None
