@@ -54,6 +54,30 @@ def decode(path: str) -> np.ndarray:
         so.adm_free(out)
 
 
+def decode_bytes(data: bytes) -> np.ndarray:
+    """In-memory JPEG/PNG decode (webdataset tar members)."""
+    so = _native.lib()
+    if so is None:
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(data)) as im:
+            return np.asarray(im.convert("RGB"))
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    out = u8p()
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    rc = so.adm_decode_mem(data, len(data), ctypes.byref(out),
+                           ctypes.byref(h), ctypes.byref(w))
+    if rc != 0:
+        raise OSError(f"native decode_mem failed (rc={rc})")
+    try:
+        return np.ctypeslib.as_array(out, shape=(h.value, w.value, 3)).copy()
+    finally:
+        so.adm_free(out)
+
+
 def resize_rgb(img: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
     """PIL-BILINEAR-compatible triangle resample of an RGB uint8 array."""
     so = _native.lib()

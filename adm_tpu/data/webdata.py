@@ -74,13 +74,21 @@ class WebdatasetReader:
         self.rng = np.random.RandomState(seed + process_index)
 
     def _decode_image(self, data: bytes) -> Optional[np.ndarray]:
+        # native C++ decode (bit-exact vs PIL) with PIL as the fallback;
+        # any failure -> warn_and_continue semantics (ddm/webdata.py:93)
+        from adm_tpu.data.native import decode_bytes
+
+        try:
+            return decode_bytes(data)
+        except OSError:
+            pass
         from PIL import Image
 
         try:
             with Image.open(io.BytesIO(data)) as im:
                 return np.asarray(im.convert("RGB"))
         except Exception:
-            return None  # warn_and_continue semantics (ddm/webdata.py:93)
+            return None
 
     def _iter_shard(self, path: str) -> Iterator[Dict[str, np.ndarray]]:
         samples: Dict[str, Dict[str, bytes]] = {}

@@ -85,6 +85,11 @@ def lib():
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ]
         so.adm_decode.restype = ctypes.c_int
+        so.adm_decode_mem.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(u8p),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        so.adm_decode_mem.restype = ctypes.c_int
         so.adm_free.argtypes = [u8p]
         so.adm_free.restype = None
         so.adm_resize_rgb.argtypes = [

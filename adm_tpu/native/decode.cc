@@ -141,6 +141,12 @@ int adm_decode(const char* path, uint8_t** out, int* h, int* w) {
   return decode_mem(buf.data(), buf.size(), out, h, w);
 }
 
+// in-memory variant (webdataset tar members, ddm/webdata.py:80)
+int adm_decode_mem(const uint8_t* buf, long len, uint8_t** out, int* h,
+                   int* w) {
+  return decode_mem(buf, size_t(len), out, h, w);
+}
+
 void adm_free(uint8_t* p) { std::free(p); }
 
 // ------------------------------------------------- triangle resample

@@ -49,6 +49,18 @@ def test_resize_matches_pil_bilinear(imgs):
         assert diff <= 1, (size, diff)
 
 
+def test_decode_bytes(imgs):
+    img, png, jpg, _ = imgs
+    with open(png, "rb") as f:
+        assert np.array_equal(nat.decode_bytes(f.read()), img)
+    with open(jpg, "rb") as f:
+        data = f.read()
+    pil = np.asarray(Image.open(jpg).convert("RGB"))
+    assert np.array_equal(nat.decode_bytes(data), pil)
+    with pytest.raises(OSError):
+        nat.decode_bytes(b"\xff\xd8\xffgarbage")
+
+
 def test_batch_pool_and_corrupt_flags(imgs):
     img, png, jpg, bad = imgs
     batch, ok = nat.decode_resize_batch([png, bad, jpg], (48, 48), 4)
