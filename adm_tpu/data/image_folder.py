@@ -49,6 +49,17 @@ def load_image(path: str, mode: str = "RGB") -> np.ndarray:
 
 
 def resize(img: np.ndarray, size: Tuple[int, int], method: str = "bilinear"):
+    # the hot path (uint8 RGB bilinear) uses the native triangle resampler
+    # (PIL-compatible within ±1 LSB, GIL-free); masks/nearest/bicubic and
+    # non-RGB stay on PIL
+    if method == "bilinear" and img.dtype == np.uint8 and img.ndim == 3 \
+            and img.shape[2] == 3:
+        from adm_tpu import native as _native
+
+        if _native.lib() is not None:
+            from adm_tpu.data.native import resize_rgb
+
+            return resize_rgb(img, size)
     from PIL import Image
 
     m = {"bilinear": Image.BILINEAR, "nearest": Image.NEAREST,
