@@ -59,6 +59,31 @@ def load_first_stage(cfg):
     return fs, fs_params
 
 
+def restore_train_state(model, ckpt_path=None, *, required: bool = False):
+    """Build a TrainState skeleton (jitted init — eager init is hundreds of
+    slow tunneled dispatches on the axon backend) and restore an orbax
+    milestone into it. Shared by the sample/export CLIs."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    from adm_tpu.train.state import TrainState
+    from adm_tpu.train.trainer import make_optimizer
+
+    params = jax.jit(model.init)(jax.random.PRNGKey(0))
+    optimizer, _ = make_optimizer(1e-4, total_steps=1)
+    state = TrainState.create(params, optimizer.init(params))
+    if ckpt_path and os.path.exists(str(ckpt_path)):
+        with ocp.StandardCheckpointer() as ckptr:
+            state = ckptr.restore(os.path.abspath(str(ckpt_path)), state)
+        log.info("restored %s (step %d)", ckpt_path, int(state.step))
+    elif required:
+        raise FileNotFoundError(f"checkpoint not found: {ckpt_path}")
+    else:
+        log.warning("no checkpoint restored (ckpt_path=%s)", ckpt_path)
+    return state
+
+
 def run_training(args, *, conditional: bool, latent: bool):
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
     # rbg PRNG measured ~9% faster than threefry on v5e, but the axon

@@ -4,7 +4,9 @@ The serving counterpart of the training CLIs: loads a milestone
 checkpoint, AOT-serializes the FULL sampling program (adm_tpu/serve) for
 the requested platforms, and writes <out>.stablehlo plus the weights as
 <out>.params.npz if asked. A server then needs only `jax.export` +
-the artifact — no model zoo, configs, or flax.
+the artifact — no model zoo, configs, or flax. Latent configs bake the
+VAE decode into the program (first-stage params become the artifact's
+second argument).
 
 Usage:
     python -m adm_tpu.cli.export_model --cfg cfg.yaml --milestone 10 \
@@ -15,15 +17,13 @@ from __future__ import annotations
 
 import argparse
 import logging
-import os
 from pathlib import Path
 
 import jax
 import numpy as np
 
+from adm_tpu.cli._common import load_first_stage, restore_train_state
 from adm_tpu.serve import export_sampler
-from adm_tpu.train.state import TrainState
-from adm_tpu.train.trainer import make_optimizer
 from adm_tpu.utils.config import build_model, load_conf
 
 log = logging.getLogger("adm_tpu")
@@ -46,24 +46,20 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     cfg = load_conf(args.cfg)
-    model = build_model(cfg["model"])
+    latent = "first_stage" in cfg["model"]
+    fs = fs_params = None
+    if latent:
+        fs, fs_params = load_first_stage(cfg)
+    model = build_model(cfg["model"], first_stage=fs)
 
-    import orbax.checkpoint as ocp
-
-    params = model.init(jax.random.PRNGKey(0))
-    optimizer, _ = make_optimizer(1e-4, total_steps=1)
-    state = TrainState.create(params, optimizer.init(params))
     ckpt = args.ckpt_path or cfg.get("sampler", {}).get("ckpt_path")
     if args.milestone is not None:
         ckpt = str(
             Path(cfg["trainer"]["results_folder"]) / f"model-{args.milestone}"
         )
-    if ckpt:
-        with ocp.StandardCheckpointer() as ckptr:
-            state = ckptr.restore(os.path.abspath(ckpt), state)
-        log.info("restored %s (step %d)", ckpt, int(state.step))
-    else:
+    if not ckpt:
         log.warning("no checkpoint given — exporting with INITIAL weights")
+    state = restore_train_state(model, ckpt)
     weights = state.ema_params if args.use_ema else state.params
 
     data = export_sampler(
@@ -71,7 +67,9 @@ def main(argv=None):
         weights,
         path=f"{args.out}.stablehlo",
         platforms=args.platforms,
+        fs_params=fs_params,
         symbolic_batch=args.fixed_batch is None,
+        batch_size=args.fixed_batch or 1,
     )
     log.info("wrote %s.stablehlo (%.1f KiB)", args.out, len(data) / 1024)
     if args.save_params:

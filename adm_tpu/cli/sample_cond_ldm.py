@@ -10,7 +10,6 @@ from __future__ import annotations
 import argparse
 import logging
 import math
-import os
 from pathlib import Path
 
 import jax
@@ -20,8 +19,6 @@ import numpy as np
 from adm_tpu.cli._common import load_first_stage
 from adm_tpu.core.slide import slide_sample
 from adm_tpu.data.loader import batch_iterator
-from adm_tpu.train.state import TrainState
-from adm_tpu.train.trainer import make_optimizer
 from adm_tpu.utils.config import build_dataset, build_model, load_conf
 from adm_tpu.utils.image import save_image
 
@@ -48,19 +45,10 @@ def main():
         fs, fs_params = load_first_stage(cfg)
     model = build_model(model_cfg, first_stage=fs)
 
-    # restore weights
-    import orbax.checkpoint as ocp
+    # restore weights (shared helper: jitted init + orbax restore)
+    from adm_tpu.cli._common import restore_train_state
 
-    params = model.init(jax.random.PRNGKey(0))
-    optimizer, _ = make_optimizer(1e-4, total_steps=1)
-    state = TrainState.create(params, optimizer.init(params))
-    ckpt_path = sampler_cfg.get("ckpt_path")
-    if ckpt_path and os.path.exists(ckpt_path):
-        with ocp.StandardCheckpointer() as ckptr:
-            state = ckptr.restore(os.path.abspath(ckpt_path), state)
-        log.info("restored %s (step %d)", ckpt_path, int(state.step))
-    else:
-        log.warning("no checkpoint restored (ckpt_path=%s)", ckpt_path)
+    state = restore_train_state(model, sampler_cfg.get("ckpt_path"))
     weights = state.ema_params if sampler_cfg.get("use_ema", True) else state.params
 
     dataset = build_dataset(data_cfg)

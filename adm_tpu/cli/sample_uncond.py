@@ -17,8 +17,6 @@ from pathlib import Path
 import jax
 import numpy as np
 
-from adm_tpu.train.state import TrainState
-from adm_tpu.train.trainer import make_optimizer
 from adm_tpu.utils.config import build_model, load_conf
 from adm_tpu.utils.image import save_image
 
@@ -50,21 +48,16 @@ def main():
     save_folder = Path(sampler_cfg["save_folder"])
     save_folder.mkdir(parents=True, exist_ok=True)
 
-    # restore state
-    import orbax.checkpoint as ocp
+    # restore state (shared helper: jitted init + orbax restore)
+    from adm_tpu.cli._common import restore_train_state
 
-    params = model.init(jax.random.PRNGKey(0))
-    optimizer, _ = make_optimizer(1e-4, total_steps=1)
-    state = TrainState.create(params, optimizer.init(params))
     ckpt_path = sampler_cfg.get("ckpt_path")
     if args.milestone is not None:
         ckpt_path = str(
             Path(cfg["trainer"]["results_folder"]) / f"model-{args.milestone}"
         )
-    with ocp.StandardCheckpointer() as ckptr:
-        state = ckptr.restore(os.path.abspath(ckpt_path), state)
+    state = restore_train_state(model, ckpt_path, required=True)
     weights = state.ema_params if use_ema else state.params
-    log.info("restored %s (step %d, ema=%s)", ckpt_path, int(state.step), use_ema)
 
     if args.rk45:
         from adm_tpu.core.ode import rk45_sample

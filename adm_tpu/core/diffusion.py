@@ -435,11 +435,13 @@ class LatentDiffusion(DDPM):
         fs_params=None,
         unnormalize: bool = True,
         ref: Optional[Array] = None,
+        init_noise: Optional[Array] = None,
     ):
         """`ref` (latent-space) is consumed by the residual process: the
         sampled residual is added to it before decoding, per
         ddm/ddm_res.py:846-870 (x_rec = decode(ref + z), no scale inverse).
-        """
+        `init_noise` (latent-shaped, unit std) overrides the initial PRNG
+        draw — the serving/export path's noise input."""
         h, w = self.image_size
         if cond is not None:
             batch_size = cond.shape[0]
@@ -456,6 +458,7 @@ class LatentDiffusion(DDPM):
                 clip_x_start=False,
                 unnormalize=False,
                 final_clip=False,
+                init_noise=init_noise,
             )
         else:
             # LDM stochastic correction (ddm_const_2.py:664-676): softsign
@@ -486,6 +489,7 @@ class LatentDiffusion(DDPM):
                 correct_fn=correct_fn,
                 final_clip=0.987654321 if self.scale_by_softsign else False,
                 start_scale=1.0,  # LDM init noise is NOT sigma_max-scaled (:655)
+                init_noise=init_noise,
             )
         if self.process_name == "res":
             if ref is None:

@@ -80,7 +80,7 @@ class WebdatasetReader:
 
         try:
             return decode_bytes(data)
-        except OSError:
+        except Exception:  # incl. PIL errors when native is unavailable
             pass
         from PIL import Image
 

@@ -47,10 +47,12 @@ static int decode_jpeg(const uint8_t* buf, size_t len, uint8_t** out,
   JErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
   jerr.mgr.error_exit = jerr_exit;
-  uint8_t* pixels = nullptr;
+  // volatile: modified between setjmp and longjmp, then read in the
+  // handler — a plain local would be indeterminate there (C setjmp rules)
+  uint8_t* volatile pixels = nullptr;
   if (setjmp(jerr.jb)) {
     jpeg_destroy_decompress(&cinfo);
-    std::free(pixels);
+    std::free(const_cast<uint8_t*>(pixels));
     return 2;
   }
   jpeg_create_decompress(&cinfo);
@@ -69,12 +71,22 @@ static int decode_jpeg(const uint8_t* buf, size_t len, uint8_t** out,
     return 2;
   }
   while (cinfo.output_scanline < cinfo.output_height) {
-    JSAMPROW row = pixels + size_t(cinfo.output_scanline) * W * 3;
+    JSAMPROW row = const_cast<uint8_t*>(pixels) +
+                   size_t(cinfo.output_scanline) * W * 3;
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
   jpeg_finish_decompress(&cinfo);
+  // corrupt-data warnings (e.g. premature EOF on a truncated file) only
+  // fill gray and bump num_warnings in libjpeg; PIL raises on these, and
+  // the load_with_retry contract (ddm/data.py:997-1004) depends on a
+  // failure — so treat any warning as a decode error
+  const long warnings = jerr.mgr.num_warnings;
   jpeg_destroy_decompress(&cinfo);
-  *out = pixels;
+  if (warnings > 0) {
+    std::free(const_cast<uint8_t*>(pixels));
+    return 2;
+  }
+  *out = const_cast<uint8_t*>(pixels);
   *h = H;
   *w = W;
   return 0;
@@ -89,17 +101,37 @@ static int decode_png(const uint8_t* buf, size_t len, uint8_t** out,
   std::memset(&image, 0, sizeof image);
   image.version = PNG_IMAGE_VERSION;
   if (!png_image_begin_read_from_memory(&image, buf, len)) return 2;
-  image.format = PNG_FORMAT_RGB;  // composites alpha over black like PIL's
-                                  // convert("RGB") on straight alpha
   const int W = image.width, H = image.height;
+  const bool has_alpha = (image.format & PNG_FORMAT_FLAG_ALPHA) != 0;
   uint8_t* pixels = static_cast<uint8_t*>(std::malloc(size_t(W) * H * 3));
   if (!pixels) {
     png_image_free(&image);
     return 2;
   }
-  if (!png_image_finish_read(&image, nullptr, pixels, 0, nullptr)) {
-    std::free(pixels);
-    return 2;
+  if (has_alpha) {
+    // RGBA/tRNS sources: read the alpha channel and DROP it, matching
+    // PIL's convert("RGB") (asking libpng for RGB directly would
+    // composite over the destination buffer instead — nondeterministic)
+    image.format = PNG_FORMAT_RGBA;
+    uint8_t* tmp = static_cast<uint8_t*>(std::malloc(size_t(W) * H * 4));
+    if (!tmp || !png_image_finish_read(&image, nullptr, tmp, 0, nullptr)) {
+      std::free(tmp);
+      std::free(pixels);
+      return 2;
+    }
+    const size_t n = size_t(W) * H;
+    for (size_t i = 0; i < n; ++i) {
+      pixels[i * 3] = tmp[i * 4];
+      pixels[i * 3 + 1] = tmp[i * 4 + 1];
+      pixels[i * 3 + 2] = tmp[i * 4 + 2];
+    }
+    std::free(tmp);
+  } else {
+    image.format = PNG_FORMAT_RGB;
+    if (!png_image_finish_read(&image, nullptr, pixels, 0, nullptr)) {
+      std::free(pixels);
+      return 2;
+    }
   }
   *out = pixels;
   *h = H;

@@ -49,6 +49,32 @@ def test_resize_matches_pil_bilinear(imgs):
         assert diff <= 1, (size, diff)
 
 
+def test_truncated_jpeg_rejected(imgs, tmp_path):
+    """libjpeg only WARNS on premature EOF (gray fill); the retry contract
+    needs a hard failure like PIL's — any decode warning is an error."""
+    _, _, jpg, _ = imgs
+    with open(jpg, "rb") as f:
+        data = f.read()
+    trunc = tmp_path / "trunc.jpg"
+    trunc.write_bytes(data[: len(data) // 2])
+    with pytest.raises(OSError):
+        nat.decode(str(trunc))
+
+
+def test_rgba_png_matches_pil_convert(imgs, tmp_path):
+    """Alpha PNGs must DROP alpha like PIL convert('RGB') — deterministic,
+    not composited over an uninitialized buffer."""
+    rng = np.random.RandomState(1)
+    rgba = (rng.rand(21, 17, 4) * 255).astype(np.uint8)
+    p = tmp_path / "a.png"
+    Image.fromarray(rgba, "RGBA").save(p)
+    pil = np.asarray(Image.open(p).convert("RGB"))
+    a = nat.decode(str(p))
+    b = nat.decode(str(p))
+    assert np.array_equal(a, pil)
+    assert np.array_equal(a, b)
+
+
 def test_decode_bytes(imgs):
     img, png, jpg, _ = imgs
     with open(png, "rb") as f:

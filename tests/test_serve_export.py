@@ -58,6 +58,53 @@ def test_stochastic_sampler_exports_and_uses_seed(tmp_path):
     assert np.abs(a - b).max() > 1e-6
 
 
+def test_ldm_export_bakes_vae_decode(tmp_path):
+    """Latent model: the artifact takes (params, fs_params, noise, seed)
+    with LATENT-shaped noise and returns decoded image-space samples."""
+    from adm_tpu.core.diffusion import LatentDiffusion
+    from adm_tpu.nn.unets import EDMPrecond
+    from adm_tpu.vae.autoencoder import AutoencoderKL, FirstStage
+
+    from tests.test_latent import TINY_DD, TINY_UNET
+
+    fs = FirstStage(AutoencoderKL(ddconfig=TINY_DD, embed_dim=4))
+    fs_params = fs.init(jax.random.PRNGKey(0), (32, 32), 3)
+    net = EDMPrecond(
+        img_resolution=16, img_channels=4, variant="const2", n_decoders=2,
+        model_kwargs=TINY_UNET,
+    )
+    model = LatentDiffusion(
+        net=net, process_name="const2", image_size=(32, 32), channels=4,
+        sampling_timesteps=2, first_stage=fs, scale_factor=2.0,
+        scale_by_std=True,
+    )
+    params = model.init(jax.random.PRNGKey(1))
+    data = export_sampler(
+        model, params, platforms=("cpu",), fs_params=fs_params
+    )
+    fn = load_sampler(data)
+    # latent noise: 32/2 (down_ratio) = 16, z_channels embed 4
+    noise = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, 4))
+    served = np.asarray(fn(params, fs_params, noise, jnp.uint32(3)))
+    assert served.shape == (2, 32, 32, 3)
+    direct = np.asarray(model.sample(
+        params, jax.random.PRNGKey(3), batch_size=2, fs_params=fs_params,
+        init_noise=noise,
+    ))
+    np.testing.assert_allclose(served, direct, atol=1e-5, rtol=1e-5)
+
+
+def test_fixed_batch_export(tmp_path):
+    model, params = _setup()
+    data = export_sampler(
+        model, params, platforms=("cpu",), symbolic_batch=False,
+        batch_size=3,
+    )
+    fn = load_sampler(data)
+    noise = jax.random.normal(jax.random.PRNGKey(0), (3, 16, 16, 3))
+    assert np.asarray(fn(params, noise, jnp.uint32(0))).shape[0] == 3
+
+
 def test_aot_compile_executes():
     model, params = _setup()
     compiled, flops = aot_compile_sampler(model, params, batch_size=2)
