@@ -9,7 +9,9 @@ shapes are a distribution whose learning is visible in samples), writing:
   results/long_run/samples-*.png        milestone EMA sample grids
   results/long_run/summary.json         first/last loss, throughput
 
-Run:  python tools/train_long.py [steps]
+Run:  python tools/train_long.py [steps] [resume_milestone]
+(resume_milestone N restores results/long_run/model-N and continues to
+`steps` — exercises the production checkpoint-resume path on-chip)
 """
 
 from __future__ import annotations
@@ -28,6 +30,7 @@ import numpy as np
 
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 6000
+    resume = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     from adm_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -69,9 +72,11 @@ def main():
         results_folder=str(out),
         ema_cfg=EmaConfig(update_after_step=1000, update_every=8),
         sample_batch_size=16,
+        resume_milestone=resume,
     )
     t0 = time.time()
-    sample_fn(trainer, 0)  # pre-training grid: pure noise baseline
+    if not resume:
+        sample_fn(trainer, 0)  # pre-training grid: pure noise baseline
     trainer.train(sample_fn=sample_fn)
     dt = time.time() - t0
 
@@ -80,10 +85,12 @@ def main():
         for line in (out / "training_log.csv").read_text().strip().splitlines()[1:]
     ]
     losses = [float(r[1]) for r in rows]
+    run_steps = steps - resume * 2000  # milestones land every 2000 steps
     summary = {
         "steps": steps,
+        "resumed_from_step": resume * 2000,
         "wall_seconds": round(dt, 1),
-        "imgs_per_sec": round(steps * 128 / dt, 1),
+        "imgs_per_sec": round(run_steps * 128 / dt, 1),
         "first_logged_loss": losses[0],
         "last_logged_loss": losses[-1],
         "min_loss": min(losses),
