@@ -223,7 +223,9 @@ class DDPM:
         loss_dict = {
             "train/loss_simple": jnp.sum(loss_simple) / denom,
             "train/loss_vlb": jnp.sum(loss_vlb) / denom,
-            "train/loss": loss / (denom / batch),
+            # reference logs loss/B/C/H/W where loss is ALREADY sum/B
+            # (ddm_const.py:359-364) — the logged metric is total/(B^2*CHW)
+            "train/loss": loss / denom,
         }
         return loss, loss_dict
 
@@ -382,13 +384,26 @@ class LatentDiffusion(DDPM):
     def training_step(self, params, batch, key, *, train=True, fs_params=None):
         x = batch["image"]
         cond = batch.get("cond")
-        k_e, k_t, k_p = jax.random.split(key, 3)
+        k_e, k_r, k_t, k_p = jax.random.split(key, 4)
         z = self.encode_input(fs_params, x, k_e)
+        ref_z = None
+        if self.process_name == "res":
+            # residual LDM trains on the LATENT residual z - ref_z
+            # (ddm/ddm_res.py:744-752: residual = x_start - ref, where ref is
+            # the encoded reference image from get_input :685-699)
+            ref_img = batch.get("ref", cond)
+            if ref_img is None:
+                raise ValueError(
+                    "residual LDM needs batch['ref'] or ['cond']"
+                )
+            ref_z = self.encode_input(fs_params, ref_img, k_r)
+            z = z - ref_z
         t = (
             jax.random.uniform(k_t, (z.shape[0],), jnp.float32) * (1.0 - self.eps)
             + self.eps
         )
-        extras = {"x": x, "fs_params": fs_params, "batch": batch}
+        extras = {"x": x, "fs_params": fs_params, "batch": batch,
+                  "ref_z": ref_z}
         return self.p_losses(params, z, t, k_p, cond, train=train, extras=extras)
 
     def extra_vlb(self, z_rec, z_start, t, extras) -> Array:
@@ -404,24 +419,41 @@ class LatentDiffusion(DDPM):
         if (self.use_disloss or self.aux_loss_fn is not None) and extras is not None:
             x = extras["x"]
             fs_params = extras["fs_params"]
-            img_rec = self.first_stage.decode(
-                fs_params, jax.lax.stop_gradient(z_rec) / self.scale_factor
-            )
-            img_rec = jnp.clip(img_rec, -1.0, 1.0)
-            # signed sum, per the reference (ddm_const_2.py:574:
-            # (img_rec - ori_input).sum([1,2,3]) — NOT abs)
-            loss_tmp = (
-                jnp.sum((img_rec - x).reshape(x.shape[0], -1), axis=1) * rec_weight
-            )
-            if self.perceptual_weight > 0 and self.perceptual_fn is not None:
-                loss_tmp = loss_tmp + self.perceptual_fn(img_rec, x) * rec_weight
-            if self.aux_loss_fn is not None:
-                loss_tmp = loss_tmp + self.aux_loss_fn(img_rec, extras["batch"])
+            # residual process reconstructs ref_z + residual before decode
+            # (ddm/ddm_res.py:752,797: img_rec = decode_first_stage(x_rec))
+            ref_z = extras.get("ref_z")
+            z_dec = z_rec if ref_z is None else z_rec + ref_z
             if self.use_disloss:
+                # decoder distillation: VAE decode under stop_gradient, the
+                # image loss re-injected through SpecifyGradient
+                # (ddm_const_2.py:566-580)
+                img_rec = self.first_stage.decode(
+                    fs_params, jax.lax.stop_gradient(z_dec) / self.scale_factor
+                )
+                img_rec = jnp.clip(img_rec, -1.0, 1.0)
+                # signed sum, per the reference (ddm_const_2.py:574:
+                # (img_rec - ori_input).sum([1,2,3]) — NOT abs)
+                loss_tmp = (
+                    jnp.sum((img_rec - x).reshape(x.shape[0], -1), axis=1)
+                    * rec_weight
+                )
+                if self.perceptual_weight > 0 and self.perceptual_fn is not None:
+                    loss_tmp = loss_tmp + self.perceptual_fn(img_rec, x) * rec_weight
+                if self.aux_loss_fn is not None:
+                    loss_tmp = loss_tmp + self.aux_loss_fn(img_rec, extras["batch"])
                 # added once per sample so the sum()/B in p_losses cancels and
                 # z_rec receives gradient mean(loss_tmp) per element — the
                 # reference's effective coefficient (ddm_const_2.py:577-580)
                 vlb = vlb + specify_gradient(z_rec, jnp.mean(loss_tmp))
+            else:
+                # aux hook alone (fork's segmentation loss, ddm_res.py:797-799:
+                # loss += loss_seg): decode WITH gradient — the reference
+                # backprops through the VAE decoder into the UNet
+                img_rec = self.first_stage.decode(
+                    fs_params, z_dec / self.scale_factor
+                )
+                img_rec = jnp.clip(img_rec, -1.0, 1.0)
+                vlb = vlb + self.aux_loss_fn(img_rec, extras["batch"])
         return vlb
 
     def sample(
@@ -490,11 +522,17 @@ class LatentDiffusion(DDPM):
                 final_clip=0.987654321 if self.scale_by_softsign else False,
                 start_scale=1.0,  # LDM init noise is NOT sigma_max-scaled (:655)
                 init_noise=init_noise,
+                # res-LDM uses the sigma-grid sampler (ddm_res.py:875-890:
+                # t from sigma_max to sigma_min^2); identical to the
+                # quadratic grid at the default sigma_max=1
+                step_grid="quadratic" if self.process_name == "res" else "uniform",
             )
         if self.process_name == "res":
             if ref is None:
                 raise ValueError("residual LDM sampling needs a latent ref")
-            z = ref + z  # ddm/ddm_res.py:867: decode(ref + z), unscaled
+            # ddm/ddm_res.py:867: decode_first_stage(ref + z), and
+            # decode_first_stage divides by scale_factor (:829-837)
+            z = (ref + z) / self.scale_factor
         elif self.scale_by_std:
             z = z / self.scale_factor
         elif self.scale_by_softsign:

@@ -21,7 +21,7 @@ optax mu/nu/EMA mirrors):
     (biases, GN affines, time-embedding vectors);
   * otherwise shard the LAST dimension divisible by n_data (out-channels
     for conv/linear kernels: the contiguous, lane-friendly choice), else
-    the largest divisible dimension, else replicate.
+    replicate.
 
 Composition with tensor parallelism (parallel/tp.py): tp's rules claim
 their dim over 'model' first; fsdp then shards a DIFFERENT dim of the
@@ -65,16 +65,12 @@ def fsdp_spec(
     if n_data <= 1 or size < min_size or not shape:
         return P(*entries) if any(e is not None for e in entries) else P()
     free = [i for i, e in enumerate(entries) if e is None]
-    # last divisible free dim (out-channels for kernels), else largest
+    # last divisible free dim (out-channels for conv/linear kernels)
     pick = None
     for i in reversed(free):
         if shape[i] % n_data == 0:
             pick = i
             break
-    if pick is None:
-        divisible = [i for i in free if shape[i] % n_data == 0]
-        if divisible:
-            pick = max(divisible, key=lambda i: shape[i])
     if pick is None:
         return P(*entries) if any(e is not None for e in entries) else P()
     entries[pick] = "data"

@@ -57,29 +57,34 @@ def make_train_step(
     optimizer,
     ema_cfg: EmaConfig,
     grad_accum: int = 1,
-    fs_params: Any = None,
+    with_fs: bool = False,
     donate: bool = True,
 ):
-    """Build the jitted (state, batch, rng) -> (state, metrics) step.
+    """Build the jitted (state, batch, rng[, fs_params]) -> (state, metrics)
+    step.
 
     `model.training_step(params, micro_batch, key)` must be a pure function
     (DDPM/LatentDiffusion from adm_tpu.core.diffusion). With grad_accum > 1
     the batch's leading axis is split into microbatches scanned sequentially
     — same effective batch, lower peak activation memory.
+
+    with_fs=True (LatentDiffusion) adds a trailing fs_params ARGUMENT —
+    never a closure: closed-over param pytrees embed as HLO constants and
+    blow the axon remote-compile size limit (HTTP 413, CLAUDE.md).
     """
 
-    def ts(params, batch, key, scale_factor):
+    def ts(params, batch, key, scale_factor, fs_params):
         del scale_factor  # threaded for LDM std-calibration (round 2 wiring)
-        if fs_params is not None:
+        if with_fs:
             return model.training_step(params, batch, key, fs_params=fs_params)
         return model.training_step(params, batch, key)
 
-    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
+    def _core(state: TrainState, batch: Dict[str, jnp.ndarray], rng, fs_params):
         key = jax.random.fold_in(rng, state.step)
 
         if grad_accum == 1:
             def loss_fn(params):
-                loss, aux = ts(params, batch, key, state.scale_factor)
+                loss, aux = ts(params, batch, key, state.scale_factor, fs_params)
                 return loss, aux
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -96,7 +101,7 @@ def make_train_step(
                 k = jax.random.fold_in(key, i)
 
                 def loss_fn(params):
-                    return ts(params, mb, k, state.scale_factor)
+                    return ts(params, mb, k, state.scale_factor, fs_params)
 
                 (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                     state.params
@@ -123,6 +128,12 @@ def make_train_step(
         metrics["loss"] = loss
         return new_state, metrics
 
+    if with_fs:
+        def step_fn(state, batch, rng, fs_params):
+            return _core(state, batch, rng, fs_params)
+    else:
+        def step_fn(state, batch, rng):
+            return _core(state, batch, rng, None)
     return step_fn
 
 
@@ -205,7 +216,8 @@ class Trainer:
         self.state = TrainState.create(params, opt_state)
 
         step_fn = make_train_step(
-            model, self.optimizer, ema_cfg, self.grad_accum, fs_params
+            model, self.optimizer, ema_cfg, self.grad_accum,
+            with_fs=fs_params is not None,
         )
         rep = replicated_sharding(self.mesh)
         dat = data_sharding(self.mesh)
@@ -228,17 +240,39 @@ class Trainer:
         else:
             state_sh = rep
         self.state = jax.device_put(self.state, state_sh)
-        self._step = jax.jit(
-            step_fn,
-            in_shardings=(state_sh, dat, rep),
-            out_shardings=(state_sh, rep),
-            donate_argnums=(0,),
-        )
-        self._sample = jax.jit(
-            lambda params, key: model.sample(
-                params, key, batch_size=self.sample_batch_size, unnormalize=True
+        # fs_params ride as a replicated ARGUMENT of the jitted step (a
+        # closure would embed the VAE tree as HLO constants -> axon HTTP 413)
+        if self.fs_params is not None:
+            self.fs_params = jax.device_put(self.fs_params, rep)
+            self._step_jit = jax.jit(
+                step_fn,
+                in_shardings=(state_sh, dat, rep, rep),
+                out_shardings=(state_sh, rep),
+                donate_argnums=(0,),
             )
-        )
+            self._step = lambda s, b, r: self._step_jit(s, b, r, self.fs_params)
+            self._sample_jit = jax.jit(
+                lambda params, fs, key: model.sample(
+                    params, key, batch_size=self.sample_batch_size,
+                    unnormalize=True, fs_params=fs,
+                )
+            )
+            self._sample = lambda params, key: self._sample_jit(
+                params, self.fs_params, key
+            )
+        else:
+            self._step = jax.jit(
+                step_fn,
+                in_shardings=(state_sh, dat, rep),
+                out_shardings=(state_sh, rep),
+                donate_argnums=(0,),
+            )
+            self._sample = jax.jit(
+                lambda params, key: model.sample(
+                    params, key, batch_size=self.sample_batch_size,
+                    unnormalize=True,
+                )
+            )
         if resume_milestone:
             self.load(resume_milestone)
 
@@ -269,13 +303,19 @@ class Trainer:
             if self.fs_params is None:
                 def _ev(p, b, k):
                     return self.model.training_step(p, b, k, train=False)
+
+                self._eval_step = jax.jit(_ev)
             else:
-                def _ev(p, b, k):
+                # fs as an argument, not a closure (axon HTTP 413 rule)
+                def _ev(p, b, k, fs):
                     return self.model.training_step(
-                        p, b, k, train=False, fs_params=self.fs_params
+                        p, b, k, train=False, fs_params=fs
                     )
 
-            self._eval_step = jax.jit(_ev)
+                _jit_ev = jax.jit(_ev)
+                self._eval_step = lambda p, b, k: _jit_ev(
+                    p, b, k, self.fs_params
+                )
         eval_step = self._eval_step
         losses = []
         for i in range(n_batches):
@@ -291,14 +331,19 @@ class Trainer:
         total = num_steps or self.train_num_steps
         t0 = time.time()
         imgs_seen = 0
-        while int(self.state.step) < total:
+        # host-side step mirror: int(state.step) would force a blocking
+        # device->host read of the async step output EVERY iteration,
+        # serializing dispatch on the hot path; _step bumps step by exactly
+        # 1, so the mirror stays in lockstep (resynced at restore/save)
+        step = int(self.state.step)
+        while step < total:
             batch = next(self.data_iter)
             imgs_seen += next(iter(batch.values())).shape[0]
             batch = shard_batch(self.mesh, batch)
-            if self.profile_dir and int(self.state.step) == self.profile_steps[0]:
+            if self.profile_dir and step == self.profile_steps[0]:
                 jax.profiler.start_trace(self.profile_dir)
             self.state, metrics = self._step(self.state, batch, self.train_key)
-            step = int(self.state.step)
+            step += 1
             if self.profile_dir and step == self.profile_steps[1]:
                 jax.block_until_ready(self.state.params)
                 jax.profiler.stop_trace()
