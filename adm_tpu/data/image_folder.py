@@ -11,7 +11,11 @@ from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
-EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp", ".JPEG", ".PNG")
+EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+
+def _is_image(name: str) -> bool:
+    return name.lower().endswith(EXTS)  # case-insensitive: IMG_0001.JPG etc.
 
 
 def list_images(folder: str, recursive: bool = True):
@@ -19,13 +23,13 @@ def list_images(folder: str, recursive: bool = True):
     if recursive:
         for root, _, files in os.walk(folder):
             for f in sorted(files):
-                if f.endswith(EXTS):
+                if _is_image(f):
                     out.append(os.path.join(root, f))
     else:
         out = [
             os.path.join(folder, f)
             for f in sorted(os.listdir(folder))
-            if f.endswith(EXTS)
+            if _is_image(f)
         ]
     return sorted(out)
 

@@ -25,12 +25,19 @@ import numpy as np
 
 
 def _collate(items) -> Dict[str, np.ndarray]:
-    return {
-        k: np.stack([it[k] for it in items]).astype(np.float32)
-        if np.asarray(items[0][k]).dtype != np.int32
-        else np.stack([it[k] for it in items])
-        for k in items[0]
-    }
+    """Stack numeric fields; keep string/object fields (img_name, ori_size
+    tuples from the test datasets) as plain lists — the torch default_collate
+    behavior. shard_batch drops non-array leaves before the jitted step."""
+    out = {}
+    for k in items[0]:
+        first = np.asarray(items[0][k])
+        if first.dtype.kind in ("U", "S", "O"):
+            out[k] = [it[k] for it in items]
+        elif first.dtype == np.int32:
+            out[k] = np.stack([it[k] for it in items])
+        else:
+            out[k] = np.stack([it[k] for it in items]).astype(np.float32)
+    return out
 
 
 def batch_iterator(
@@ -49,6 +56,14 @@ def batch_iterator(
     rng = np.random.RandomState(seed + process_index)
     local_bs = batch_size // process_count
     assert local_bs > 0, "batch_size must be >= process_count"
+    if drop_last and len(idx_all) < local_bs:
+        # without this guard the while-True loop below would re-permute
+        # forever and never yield — a silent hang instead of an error
+        raise ValueError(
+            f"per-process shard has {len(idx_all)} samples < local batch "
+            f"{local_bs} (dataset {n}, processes {process_count}); shrink "
+            "batch_size or use drop_last=False"
+        )
     pool = ThreadPoolExecutor(num_workers) if num_workers > 0 else None
 
     def load(sel):

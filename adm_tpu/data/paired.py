@@ -71,6 +71,9 @@ class _PairedFolder:
         return arrays
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        return load_with_retry(self._item, index, len(self))
+
+    def _item(self, index: int) -> Dict[str, np.ndarray]:
         img, cond = self._load_pair(index)
         img, cond = self._maybe_flip(img, cond)
         out = {"image": to_neg_one_one(self._as_chlast(img, self.img_mode))}
@@ -104,6 +107,9 @@ class SRDataset:
         return len(self.paths)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        return load_with_retry(self._load, index, len(self))
+
+    def _load(self, index: int) -> Dict[str, np.ndarray]:
         rng = np.random.RandomState(np.random.randint(2**31))
         hr = random_crop(load_image(self.paths[index]), self.image_size, rng)
         if self.flip and np.random.rand() < 0.5:
@@ -127,6 +133,9 @@ class ImageNetSR(SRDataset):
         self.degradation = degradation
 
     def __getitem__(self, index):
+        return load_with_retry(self._load, index, len(self))
+
+    def _load(self, index):
         from adm_tpu.data.image_folder import load_image
 
         img = load_image(self.paths[index])
@@ -438,34 +447,99 @@ class SketchDataset:
         return _load_with_retry(self._load, index, len(self))
 
 
-class CityscapesDataset(_PairedFolder):
-    """Seg-conditioned (ddm/data.py:478-530): leftImg8bit/<split> images
-    with gtFine *_labelTrainIds.png masks; legacy two-folder form kept."""
+class CityscapesDataset:
+    """Seg-conditioned Cityscapes (ddm/data.py:478-530): leftImg8bit/<split>
+    *.png images; the mask path is DERIVED per image as
+    gtFine/<split>/<city>/<stem[:-12]>_gtFine_labelTrainIds.png (:496-497 —
+    rglobbing gtFine would collect color/instanceIds/labelIds too and pair
+    by index with the wrong files). Contract (:514-530): img bicubic-resized
+    RGB in [-1,1]; mask 'L' + 1 in uint8 (255 ignore wraps to 0),
+    NEAREST-resized, then float / 19, ONE channel."""
 
-    def __init__(self, data_root=None, split="train", **kwargs):
-        if data_root is not None:
-            kwargs.setdefault(
-                "img_folder", os.path.join(data_root, "leftImg8bit", split)
-            )
-            kwargs.setdefault(
-                "cond_folder", os.path.join(data_root, "gtFine", split)
-            )
-        super().__init__(**kwargs)
+    def __init__(self, data_root, image_size=(128, 256), split="train",
+                 augment_horizontal_flip=False, exts=(".png",), **kwargs):
+        img_folder = os.path.join(data_root, "leftImg8bit", split)
+        mask_folder = os.path.join(data_root, "gtFine", split)
+        self.img_paths = _rglob_images(img_folder, tuple(exts))
+        if not self.img_paths:
+            raise FileNotFoundError(f"no images under {img_folder}")
+        self.mask_paths = []
+        for p in self.img_paths:
+            city = os.path.basename(os.path.dirname(p))
+            stem = os.path.splitext(os.path.basename(p))[0]
+            self.mask_paths.append(os.path.join(
+                mask_folder, city, f"{stem[:-12]}_gtFine_labelTrainIds.png"
+            ))
+        self.image_size = tuple(image_size)
+        self.flip = augment_horizontal_flip
+
+    def __len__(self):
+        return len(self.img_paths)
+
+    def __getitem__(self, index):
+        return load_with_retry(self._load, index, len(self))
+
+    def _load(self, index):
+        img = resize(load_image(self.img_paths[index], "RGB"),
+                     self.image_size, "bicubic")
+        mask = load_image(self.mask_paths[index], "L").astype(np.uint8)
+        mask = mask + np.uint8(1)  # uint8: ignore label 255 wraps to 0
+        mask = resize(mask, self.image_size, "nearest")
+        if self.flip and np.random.rand() < 0.5:
+            img = img[:, ::-1].copy()
+            mask = mask[:, ::-1].copy()
+        return {
+            "image": to_neg_one_one(img),
+            "cond": (mask.astype(np.float32) / 19.0)[..., None],
+        }
 
 
-class ADE20KDataset(_PairedFolder):
-    """Seg-conditioned (ddm/data.py:531-592): images/<split> +
-    annotations/<split>."""
+class ADE20KDataset:
+    """Seg-conditioned ADE20K (ddm/data.py:531-592): images/<split> *.jpg
+    with annotations/<split>/<stem>.png masks. Both are center-cropped
+    square FIRST (:567-583, score-sde preprocessing), then img
+    bicubic / mask NEAREST resized; mask float / 150, ONE channel."""
 
-    def __init__(self, data_root=None, split="training", **kwargs):
-        if data_root is not None:
-            kwargs.setdefault(
-                "img_folder", os.path.join(data_root, "images", split)
+    def __init__(self, data_root, image_size=(256, 256), split="training",
+                 augment_horizontal_flip=False, exts=(".jpg",), **kwargs):
+        img_folder = os.path.join(data_root, "images", split)
+        mask_folder = os.path.join(data_root, "annotations", split)
+        self.img_paths = _rglob_images(img_folder, tuple(exts))
+        if not self.img_paths:
+            raise FileNotFoundError(f"no images under {img_folder}")
+        self.mask_paths = [
+            os.path.join(
+                mask_folder,
+                os.path.splitext(os.path.basename(p))[0] + ".png",
             )
-            kwargs.setdefault(
-                "cond_folder", os.path.join(data_root, "annotations", split)
-            )
-        super().__init__(**kwargs)
+            for p in self.img_paths
+        ]
+        self.image_size = tuple(image_size)
+        self.flip = augment_horizontal_flip
+
+    def __len__(self):
+        return len(self.img_paths)
+
+    def __getitem__(self, index):
+        return load_with_retry(self._load, index, len(self))
+
+    def _load(self, index):
+        img = load_image(self.img_paths[index], "RGB")
+        mask = load_image(self.mask_paths[index], "L").astype(np.uint8)
+        h, w = img.shape[:2]
+        crop = min(h, w)
+        ys, xs = (h - crop) // 2, (w - crop) // 2
+        img = img[ys : ys + crop, xs : xs + crop]
+        mask = mask[ys : ys + crop, xs : xs + crop]
+        img = resize(img, self.image_size, "bicubic")
+        mask = resize(mask, self.image_size, "nearest")
+        if self.flip and np.random.rand() < 0.5:
+            img = img[:, ::-1].copy()
+            mask = mask[:, ::-1].copy()
+        return {
+            "image": to_neg_one_one(img),
+            "cond": (mask.astype(np.float32) / 150.0)[..., None],
+        }
 
 
 # ---------------------------------------------------------------------------
@@ -534,6 +608,9 @@ class InpaintDataset:
         return len(self.paths)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        return load_with_retry(self._load, index, len(self))
+
+    def _load(self, index: int) -> Dict[str, np.ndarray]:
         rng = np.random.RandomState(np.random.randint(2**31))
         img = resize(load_image(self.paths[index]), self.image_size)
         if self.flip and np.random.rand() < 0.5:

@@ -90,38 +90,53 @@ class WebdatasetReader:
         except Exception:
             return None
 
+    def _emit(self, rec: Dict[str, bytes]):
+        """Build one sample from a member group, or None to skip."""
+        img_data = next((rec[e] for e in _IMG_EXT if e in rec), None)
+        if img_data is None:
+            return None
+        img = self._decode_image(img_data)
+        if img is None or not filter_dark(img, self.min_brightness):
+            return None
+        caption = ""
+        for e in _TXT_EXT:
+            if e in rec:
+                caption = rec[e].decode("utf-8", "ignore")
+                break
+        else:
+            for e in _JSON_EXT:
+                if e in rec:
+                    try:
+                        caption = json.loads(rec[e]).get(self.caption_key, "")
+                    except Exception:
+                        caption = ""
+                    break
+        img = resize(img, self.image_size)
+        tokens = self.tokenizer([caption])[0]
+        return {"image": to_neg_one_one(img), "cond": tokens}
+
     def _iter_shard(self, path: str) -> Iterator[Dict[str, np.ndarray]]:
-        samples: Dict[str, Dict[str, bytes]] = {}
+        """STREAM the tar: a sample's members are adjacent by webdataset
+        convention, so group on base-name change and keep O(sample) bytes in
+        RAM instead of buffering the whole (often ~1 GB) shard."""
+        cur_base: Optional[str] = None
+        rec: Dict[str, bytes] = {}
         with tarfile.open(path) as tf:
             for member in tf:
                 if not member.isfile():
                     continue
                 base, ext = os.path.splitext(member.name)
-                rec = samples.setdefault(base, {})
+                if base != cur_base and cur_base is not None:
+                    s = self._emit(rec)
+                    if s is not None:
+                        yield s
+                    rec = {}
+                cur_base = base
                 rec[ext.lower()] = tf.extractfile(member).read()
-        for base, rec in samples.items():
-            img_data = next((rec[e] for e in _IMG_EXT if e in rec), None)
-            if img_data is None:
-                continue
-            img = self._decode_image(img_data)
-            if img is None or not filter_dark(img, self.min_brightness):
-                continue
-            caption = ""
-            for e in _TXT_EXT:
-                if e in rec:
-                    caption = rec[e].decode("utf-8", "ignore")
-                    break
-            else:
-                for e in _JSON_EXT:
-                    if e in rec:
-                        try:
-                            caption = json.loads(rec[e]).get(self.caption_key, "")
-                        except Exception:
-                            caption = ""
-                        break
-            img = resize(img, self.image_size)
-            tokens = self.tokenizer([caption])[0]
-            yield {"image": to_neg_one_one(img), "cond": tokens}
+        if cur_base is not None:
+            s = self._emit(rec)
+            if s is not None:
+                yield s
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         """Infinite resampled stream (reference .with_epoch, webdata.py:93)."""

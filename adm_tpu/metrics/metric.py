@@ -82,7 +82,9 @@ def extract_features(
         batch = np.stack(buf)
         if batch.shape[0] < batch_size:  # pad to static shape, trim after
             pad = batch_size - batch.shape[0]
-            batch = np.concatenate([batch, np.zeros_like(batch[:pad])])
+            batch = np.concatenate(
+                [batch, np.zeros((pad, *batch.shape[1:]), batch.dtype)]
+            )
         else:
             pad = 0
         out = fn(jnp.asarray(batch, jnp.uint8))

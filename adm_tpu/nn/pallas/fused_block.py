@@ -74,7 +74,9 @@ def _kernel(x_ref, scale_ref, bias_ref, w_ref, cb_ref, o_ref, *,
             )
             acc = acc + jnp.dot(
                 patch.reshape(sb * hw, c),
-                w_ref[dy, dx].astype(jnp.bfloat16),
+                # match the activation dtype — a hardcoded bf16 cast would
+                # silently degrade fp32 models that opt into the fusion
+                w_ref[dy, dx].astype(act.dtype),
                 preferred_element_type=jnp.float32,
             )
     acc = acc + cb_ref[:].reshape(1, c_out).astype(jnp.float32)
@@ -147,8 +149,8 @@ def gn_silu_conv3x3_reference(x, gn_scale, gn_bias, conv_kernel, conv_bias,
 
     act = groupnorm_silu_reference(x, gn_scale, gn_bias, groups, eps)
     y = jax.lax.conv_general_dilated(
-        act.astype(jnp.bfloat16),
-        conv_kernel.astype(jnp.bfloat16),
+        act.astype(x.dtype),
+        conv_kernel.astype(x.dtype),
         window_strides=(1, 1),
         padding=[(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -75,16 +75,32 @@ def check_replication_consistency(tree, atol: float = 0.0) -> None:
 def shard_batch(mesh: Mesh, batch):
     """Place a host batch dict onto the mesh, batch-axis sharded.
 
+    Non-numeric fields (img_name strings, ori_size tuples from the test
+    datasets) are DROPPED — they cannot enter a jitted step; read them from
+    the host batch before sharding.
+
     Multi-process (multi-host DCN): each process holds its LOCAL slice of
     the global batch (the per-process dataloader shard, replacing the
     reference's DistributedSampler + DDP, torch_utils/distributed.py:14-41);
     jax.make_array_from_process_local_data assembles the global array. The
     single-process fast path is a plain device_put.
     """
+    batch = _numeric_only(batch)
     sh = data_sharding(mesh)
     if jax.process_count() == 1:
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
     return global_shard_batch(mesh, batch)
+
+
+def _numeric_only(batch):
+    if not isinstance(batch, dict):
+        return batch
+    return {
+        k: v
+        for k, v in batch.items()
+        if not isinstance(v, (str, list))
+        and np.asarray(v).dtype.kind not in ("U", "S", "O")
+    }
 
 
 def global_shard_batch(mesh: Mesh, batch):

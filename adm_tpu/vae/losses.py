@@ -147,6 +147,10 @@ def generator_loss(
     g_loss, g_grads = jax.value_and_grad(g_of)(last_w)
 
     def _norm(tree):
+        # reference norms the last layer's WEIGHT grads only
+        # (encoder_decoder.py:382-383, loss.py:34-45) — exclude the bias
+        if isinstance(tree, dict) and "kernel" in tree:
+            tree = tree["kernel"]
         return jnp.sqrt(
             sum(jnp.sum(g**2) for g in jax.tree_util.tree_leaves(tree))
         )

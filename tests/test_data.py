@@ -152,3 +152,95 @@ def test_prefetch_iterator_finite():
     from adm_tpu.data.loader import prefetch_iterator
 
     assert list(prefetch_iterator(iter(range(5)), depth=2)) == list(range(5))
+
+
+def test_collate_keeps_string_fields_and_shard_drops_them():
+    """img_name/ori_size fields (DUTS/Sketch/Inpaint test datasets) collate
+    as lists (torch default_collate behavior) instead of crashing, and
+    shard_batch filters them before the jitted step."""
+    from adm_tpu.data.loader import _collate
+    from adm_tpu.parallel.mesh import make_mesh, shard_batch
+
+    items = [
+        {"image": np.zeros((4, 4, 3), np.float32), "img_name": f"{i}.jpg",
+         "ori_size": (7, 9)}
+        for i in range(2)
+    ]
+    batch = _collate(items)
+    assert batch["img_name"] == ["0.jpg", "1.jpg"]
+    assert batch["image"].shape == (2, 4, 4, 3)
+    dev = shard_batch(make_mesh(n_data=2), batch)
+    # strings dropped; numeric tuples (ori_size) legitimately pass through
+    assert set(dev) == {"image", "ori_size"}
+
+
+def test_batch_iterator_raises_on_tiny_shard():
+    from adm_tpu.data.loader import batch_iterator
+    from adm_tpu.data.synthetic import ShapesDataset
+
+    ds = ShapesDataset(image_size=(8, 8), length=4)
+    with pytest.raises(ValueError, match="shard"):
+        next(batch_iterator(ds, batch_size=16, process_index=0,
+                            process_count=2))
+
+
+def test_cityscapes_contract(tmp_path):
+    """Mask path DERIVED per image (labelTrainIds only), mask 'L'+1 uint8 /19
+    one channel, nearest-resized (reference ddm/data.py:478-530)."""
+    from PIL import Image
+
+    from adm_tpu.data.paired import CityscapesDataset
+
+    img_dir = tmp_path / "leftImg8bit" / "train" / "aachen"
+    gt_dir = tmp_path / "gtFine" / "train" / "aachen"
+    img_dir.mkdir(parents=True)
+    gt_dir.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        stem = f"aachen_00000{i}_000019_leftImg8bit"
+        Image.fromarray(
+            (rng.rand(64, 128, 3) * 255).astype(np.uint8)
+        ).save(img_dir / f"{stem}.png")
+        mask = np.full((64, 128), 5 + i, np.uint8)
+        mask[0, 0] = 255  # ignore label -> wraps to 0 after +1
+        Image.fromarray(mask).save(
+            gt_dir / f"aachen_00000{i}_000019_gtFine_labelTrainIds.png"
+        )
+        # decoys that an rglob-pairing would pick up
+        Image.fromarray(mask).save(
+            gt_dir / f"aachen_00000{i}_000019_gtFine_color.png"
+        )
+        Image.fromarray(mask).save(
+            gt_dir / f"aachen_00000{i}_000019_gtFine_instanceIds.png"
+        )
+
+    ds = CityscapesDataset(str(tmp_path), image_size=(32, 64))
+    assert len(ds) == 2
+    item = ds[1]
+    assert item["image"].shape == (32, 64, 3)
+    assert item["cond"].shape == (32, 64, 1)
+    # label 6 -> (6+1)/19; nearest resize keeps exact values
+    assert np.isclose(item["cond"].max(), 7.0 / 19.0)
+
+
+def test_ade20k_contract(tmp_path):
+    """Center-crop both, mask /150 one channel (ddm/data.py:531-592)."""
+    from PIL import Image
+
+    from adm_tpu.data.paired import ADE20KDataset
+
+    img_dir = tmp_path / "images" / "training"
+    ann_dir = tmp_path / "annotations" / "training"
+    img_dir.mkdir(parents=True)
+    ann_dir.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    Image.fromarray((rng.rand(48, 80, 3) * 255).astype(np.uint8)).save(
+        img_dir / "a.jpg"
+    )
+    Image.fromarray(np.full((48, 80), 30, np.uint8)).save(ann_dir / "a.png")
+
+    ds = ADE20KDataset(str(tmp_path), image_size=(32, 32))
+    item = ds[0]
+    assert item["image"].shape == (32, 32, 3)
+    assert item["cond"].shape == (32, 32, 1)
+    assert np.isclose(item["cond"].max(), 30.0 / 150.0)
