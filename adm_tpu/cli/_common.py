@@ -27,16 +27,19 @@ def load_first_stage(cfg):
     """Build the frozen first-stage VAE and restore its params.
 
     `model.first_stage` section mirrors the reference's auto_encoder config
-    (train_cond_ldm.py:42-47); params restore from an adm_tpu VAE milestone
-    (orbax) via first_stage.ckpt_path.
+    (train_cond_ldm.py:42-47); the PL `target:/params:` form nests it as
+    first_stage_config (normalize_model_cfg flattens both). Params restore
+    from an adm_tpu VAE milestone (orbax) via first_stage.ckpt_path.
     """
     from adm_tpu.cli.train_vae import build_vae
+    from adm_tpu.utils.config import normalize_model_cfg
     from adm_tpu.vae.autoencoder import FirstStage
 
-    fs_cfg = cfg["model"]["first_stage"]
+    _, mcfg = normalize_model_cfg(cfg["model"])
+    fs_cfg = mcfg["first_stage"]
     module = build_vae(fs_cfg)
     fs = FirstStage(module)
-    h, w = cfg["model"]["image_size"]
+    h, w = mcfg["image_size"]
     fs_params = fs.init(
         jax.random.PRNGKey(0), (h, w), fs_cfg["ddconfig"]["in_channels"]
     )
@@ -176,17 +179,34 @@ def run_training(args, *, conditional: bool, latent: bool):
         n = min(int(data_cfg["batch_size"]), 16)
         sample_cond = jnp.asarray(first_batch["cond"][:n])
 
+    # jitted milestone samplers — eager model.sample would dispatch the
+    # whole denoise loop op-by-op over the tunneled backend; params/fs ride
+    # as ARGUMENTS (closures embed them as HLO constants -> axon 413)
+    _jit_cond = jax.jit(
+        lambda p, fs, k, c: model.sample(
+            p, k, cond=c, **(dict(fs_params=fs) if latent else {})
+        )
+    )
+
+    def _jit_uncond_for(bs):
+        return jax.jit(
+            lambda p, fs, k: model.sample(
+                p, k, batch_size=bs,
+                **(dict(fs_params=fs) if latent else {}),
+            )
+        )
+
+    _jit_uncond_cache = {}
+
     def sample_fn(tr: Trainer, milestone):
         key = jax.random.PRNGKey(int(tr.state.step))
-        kwargs = dict(fs_params=fs_params) if latent else {}
         if sample_cond is not None:
-            imgs = model.sample(
-                tr.state.ema_params, key, cond=sample_cond, **kwargs
-            )
+            imgs = _jit_cond(tr.state.ema_params, fs_params, key, sample_cond)
         else:
-            imgs = model.sample(
-                tr.state.ema_params, key, batch_size=tr.sample_batch_size, **kwargs
-            )
+            bs = tr.sample_batch_size
+            if bs not in _jit_uncond_cache:
+                _jit_uncond_cache[bs] = _jit_uncond_for(bs)
+            imgs = _jit_uncond_cache[bs](tr.state.ema_params, fs_params, key)
         n_img = imgs.shape[0]
         nrow = 2 ** int(math.floor(math.log2(max(math.sqrt(n_img), 1))))
         path = str(tr.results_folder / f"sample-{milestone}.png")
@@ -207,18 +227,21 @@ def run_training(args, *, conditional: bool, latent: bool):
 
             n = int(sampler_cfg.get("sample_num", 1000))
             bs = int(sampler_cfg.get("batch_size", 64))
-            kwargs = dict(fs_params=fs_params) if latent else {}
+            if bs not in _jit_uncond_cache:
+                _jit_uncond_cache[bs] = _jit_uncond_for(bs)
             frames = []
-            for i in range(max(n // bs, 1)):
-                imgs = model.sample(
-                    tr.state.ema_params, jax.random.PRNGKey(i), batch_size=bs,
-                    **kwargs,
+            # ceil batches, trimmed to exactly sample_num (reference
+            # train_uncond_dpm.py:331-365 scores the configured count)
+            for i in range(math.ceil(n / bs)):
+                imgs = _jit_uncond_cache[bs](
+                    tr.state.ema_params, fs_params, jax.random.PRNGKey(i)
                 )
                 frames.append(
                     (np.asarray(imgs) * 255).clip(0, 255).astype(np.uint8)
                 )
             res = calculate_metrics(
-                np.concatenate(frames), sampler_cfg["target_path"], fid=True
+                np.concatenate(frames)[:n], sampler_cfg["target_path"],
+                fid=True,
             )
             log.info("milestone %s FID: %.4f", milestone,
                      res["frechet_inception_distance"])

@@ -57,13 +57,22 @@ def main():
         from adm_tpu.metrics.inception import convert_inception
 
         tree = convert_inception(torch.load(args.src, map_location="cpu"))
-    else:  # vgg16
+    elif args.kind == "vgg16":
         from adm_tpu.metrics.lpips import convert_vgg16_features
 
         sd = torch.load(args.src, map_location="cpu")
         if "state_dict" in sd:
             sd = sd["state_dict"]
         tree = {"params": convert_vgg16_features(sd)}
+    else:  # swin_b / resnet101 / efficientnet_b7
+        from adm_tpu.utils import backbone_convert
+
+        sd = torch.load(args.src, map_location="cpu")
+        for key in ("state_dict", "model"):
+            if isinstance(sd, dict) and key in sd:
+                sd = sd[key]
+        converter = getattr(backbone_convert, f"convert_{args.kind}")
+        tree = {"params": converter(sd)}
 
     np.savez(args.dst, params=np.array(tree["params"], dtype=object))
     n = sum(

@@ -46,7 +46,10 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     cfg = load_conf(args.cfg)
-    latent = "first_stage" in cfg["model"]
+    from adm_tpu.utils.config import normalize_model_cfg
+
+    _, mcfg = normalize_model_cfg(cfg["model"])
+    latent = "first_stage" in mcfg
     fs = fs_params = None
     if latent:
         fs, fs_params = load_first_stage(cfg)
@@ -68,6 +71,8 @@ def main(argv=None):
         path=f"{args.out}.stablehlo",
         platforms=args.platforms,
         fs_params=fs_params,
+        # conditional models expose the cond input in the artifact
+        cond_shape=getattr(model, "cond_shape", None),
         symbolic_batch=args.fixed_batch is None,
         batch_size=args.fixed_batch or 1,
     )

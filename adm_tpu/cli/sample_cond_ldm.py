@@ -39,7 +39,9 @@ def main():
     cfg = load_conf(args.cfg)
     model_cfg, data_cfg, sampler_cfg = cfg["model"], cfg["data"], cfg["sampler"]
 
-    latent = "first_stage" in model_cfg
+    from adm_tpu.utils.config import normalize_model_cfg
+
+    latent = "first_stage" in normalize_model_cfg(model_cfg)[1]
     fs = fs_params = None
     if latent:
         fs, fs_params = load_first_stage(cfg)
@@ -53,15 +55,23 @@ def main():
 
     dataset = build_dataset(data_cfg)
     data_iter = batch_iterator(
-        dataset, int(sampler_cfg.get("batch_size", 1)), shuffle=False
+        dataset, int(sampler_cfg.get("batch_size", 1)), shuffle=False,
+        # eval: one pass, scoring the tail of the validation set too
+        drop_last=False, loop=False,
     )
     save_folder = Path(sampler_cfg["save_folder"])
     save_folder.mkdir(parents=True, exist_ok=True)
 
-    kwargs = dict(fs_params=fs_params) if latent else {}
-    sample_crop = jax.jit(
-        lambda c, k: model.sample(weights, k, cond=c, **kwargs)
-    )
+    # weights/fs as ARGUMENTS of the jitted fn — closures embed the pytrees
+    # as HLO constants and hit the axon remote-compile 413 limit (CLAUDE.md)
+    if latent:
+        _jit_crop = jax.jit(
+            lambda w, fs, c, k: model.sample(w, k, cond=c, fs_params=fs)
+        )
+        sample_crop = lambda c, k: _jit_crop(weights, fs_params, c, k)
+    else:
+        _jit_crop = jax.jit(lambda w, c, k: model.sample(w, k, cond=c))
+        sample_crop = lambda c, k: _jit_crop(weights, c, k)
     crop = tuple(sampler_cfg.get("crop_size", model.image_size))
     stride = tuple(sampler_cfg.get("stride", crop))
     flip_test = bool(sampler_cfg.get("flip_test", False))

@@ -64,6 +64,13 @@ def main():
 
         h, w = model.image_size
 
+        if model.process_name not in ("const", "const2"):
+            raise SystemExit(
+                f"--rk45 implements the const/const2 probability-flow drift "
+                f"only; process '{model.process_name}' would integrate the "
+                "wrong vector field (core/ode.py:128-136)"
+            )
+
         def _rk45(p, k):
             fn = model._model_fn(p)
             img, nfe = rk45_sample(

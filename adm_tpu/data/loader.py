@@ -50,7 +50,10 @@ def batch_iterator(
     process_count: int = 1,
     drop_last: bool = True,
     num_workers: int = 0,
+    loop: bool = True,
 ) -> Iterator[Dict[str, np.ndarray]]:
+    """loop=True (training) cycles shuffled epochs forever; loop=False
+    yields ONE pass and stops (eval CLIs)."""
     n = len(dataset)
     idx_all = np.arange(n)[process_index::process_count]
     rng = np.random.RandomState(seed + process_index)
@@ -78,6 +81,8 @@ def batch_iterator(
             if drop_last and len(sel) < local_bs:
                 break
             yield _collate(load(sel))
+        if not loop:
+            return
 
 
 def prefetch_iterator(it: Iterator, depth: int = 2) -> Iterator:

@@ -215,19 +215,12 @@ _PROCESS_BY_CLASS = {
 }
 
 
-def build_model(
-    model_cfg: Dict[str, Any],
-    net=None,
-    first_stage=None,
-    perceptual_fn=None,
-    augment_fn=None,
-    dtype=jnp.float32,
-):
-    """Construct DDPM/LatentDiffusion from the reference `model:` section.
-
-    Accepts three reference conventions:
+def normalize_model_cfg(model_cfg: Dict[str, Any]):
+    """Flatten the three reference `model:` conventions to
+    (class_name, flat_cfg):
       * `class_name:` (the live train scripts, train_uncond_dpm.py:42-47);
-      * `target:`/`params:` (the fork's PL config, uncond_ddm_ldm_pl.yaml:2-3);
+      * `target:`/`params:` (the fork's PL config, uncond_ddm_ldm_pl.yaml:2-3)
+        — first_stage_config/unet_config nest under params;
       * `model_type:`/`model_name:` (the edge-detection configs,
         configs/edge_detection/cond_const_sde4_unet6.yaml:2-3) — model_type
         'const_sde*' maps to the sqrt(t) const family, model_name
@@ -261,6 +254,20 @@ def build_model(
             cfg["unet"]["class_name"] = f"unet.{model_name}.Unet"
     else:
         class_name = cfg.pop("class_name")
+    return class_name, cfg
+
+
+def build_model(
+    model_cfg: Dict[str, Any],
+    net=None,
+    first_stage=None,
+    perceptual_fn=None,
+    augment_fn=None,
+    dtype=jnp.float32,
+):
+    """Construct DDPM/LatentDiffusion from the reference `model:` section
+    (conventions per normalize_model_cfg)."""
+    class_name, cfg = normalize_model_cfg(model_cfg)
     if class_name not in _PROCESS_BY_CLASS:
         raise KeyError(f"unknown model class_name '{class_name}'")
     process_name, cls = _PROCESS_BY_CLASS[class_name]

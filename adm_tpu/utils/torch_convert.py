@@ -42,7 +42,9 @@ def _qkv_permutation(c: int, heads: int) -> np.ndarray:
     return perm
 
 
-def _convert_unet_block(sd: Dict, prefix: str, heads: int = 0) -> Dict:
+def _convert_unet_block(
+    sd: Dict, prefix: str, heads: int = 0, channels_per_head: int = 64
+) -> Dict:
     out = {
         "norm0": {"scale": np.asarray(sd[f"{prefix}.norm0.weight"]),
                   "bias": np.asarray(sd[f"{prefix}.norm0.bias"])},
@@ -62,7 +64,7 @@ def _convert_unet_block(sd: Dict, prefix: str, heads: int = 0) -> Dict:
         qkv_w = _t_conv(sd[f"{prefix}.qkv.weight"])  # (1,1,C,3C)
         qkv_b = np.asarray(sd[f"{prefix}.qkv.bias"])
         c = qkv_w.shape[2]
-        h = heads if heads else max(c // 64, 1)
+        h = heads if heads else max(c // channels_per_head, 1)
         perm = _qkv_permutation(c, h)
         out["norm2"] = {"scale": np.asarray(sd[f"{prefix}.norm2.weight"]),
                         "bias": np.asarray(sd[f"{prefix}.norm2.bias"])}
@@ -80,16 +82,9 @@ def _convert_spatial_att(sd: Dict, prefix: str) -> Dict:
     }
 
 
-def fold_batchnorm(sd: Dict, prefix: str, eps: float = 1e-5) -> Dict:
-    """BatchNorm2d running stats + affine -> frozen per-channel affine
-    (scale = w/sqrt(var+eps), bias = b - mean*scale) for the backbones'
-    norm_mode='frozen_bn' (exact BN inference)."""
-    w = np.asarray(sd[f"{prefix}.weight"])
-    b = np.asarray(sd[f"{prefix}.bias"])
-    mean = np.asarray(sd[f"{prefix}.running_mean"])
-    var = np.asarray(sd[f"{prefix}.running_var"])
-    scale = w / np.sqrt(var + eps)
-    return {"scale": scale, "bias": b - mean * scale}
+# BN folding shared with the backbone converters — ONE implementation
+# (backbone_convert handles torch tensors and numpy alike)
+from adm_tpu.utils.backbone_convert import fold_batchnorm  # noqa: E402,F401
 
 
 def convert_autoencoder_kl(sd: Dict) -> Dict:
@@ -214,7 +209,9 @@ def convert_dhariwal_edm(sd: Dict, channels_per_head: int = 64) -> Dict:
                 model[ours] = {"kernel": _t_conv(sd[f"{tprefix}.weight"]),
                                "bias": np.asarray(sd[f"{tprefix}.bias"])}
             else:
-                model[ours] = _convert_unet_block(sd, tprefix)
+                model[ours] = _convert_unet_block(
+                    sd, tprefix, channels_per_head=channels_per_head
+                )
     for d in ("1", "2"):
         if f"model.decouple{d}.0.weight" in sd:
             model[f"decouple{d}"] = {
