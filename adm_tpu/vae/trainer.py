@@ -248,12 +248,15 @@ class VAETrainer:
     def train(self, num_steps: Optional[int] = None, recon_fn=None):
         total = num_steps or self.train_num_steps
         t0, seen = time.time(), 0
-        while int(self.state.step) < total:
+        # host-side step mirror (see train/trainer.py): int(state.step)
+        # every iteration would block on the async step output
+        step = int(self.state.step)
+        while step < total:
             batch = next(self.data_iter)
             seen += next(iter(batch.values())).shape[0]
             batch = shard_batch(self.mesh, batch)
             self.state, metrics = self._step(self.state, batch, self.train_key)
-            step = int(self.state.step)
+            step += 1
             if step % self.log_freq == 0 or step == total:
                 m = {k: float(v) for k, v in metrics.items()}
                 log.info(
