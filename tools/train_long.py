@@ -59,6 +59,17 @@ def main():
         path = str(out / f"samples-{milestone}.png")
         save_image_grid(np.clip(imgs, 0, 1), path, nrow=4)
         print(f"[long_run] wrote {path}", flush=True)
+        # retention: keep the 2 newest orbax milestones (3 GB each)
+        import re
+        import shutil
+
+        dirs = sorted(
+            (d for d in out.iterdir()
+             if d.is_dir() and re.fullmatch(r"model-\d+", d.name)),
+            key=lambda d: int(d.name.split("-")[1]),
+        )
+        for d in dirs[:-2]:
+            shutil.rmtree(d, ignore_errors=True)
 
     trainer = Trainer(
         model,
