@@ -87,6 +87,17 @@ def restore_train_state(model, ckpt_path=None, *, required: bool = False):
     return state
 
 
+def _pretrained_transform(model_cfg):
+    """model.pretrained: [{file, scope}] -> init-params graft callable
+    (utils/weights.py), or None when the config has no grafts."""
+    specs = model_cfg.get("pretrained")
+    if not specs:
+        return None
+    from adm_tpu.utils.weights import apply_pretrained
+
+    return lambda params: apply_pretrained(params, specs)
+
+
 def run_training(args, *, conditional: bool, latent: bool):
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
     # rbg PRNG measured ~9% faster than threefry on v5e, but the axon
@@ -137,13 +148,17 @@ def run_training(args, *, conditional: bool, latent: bool):
         data_iter = prefetch_iterator(data_iter)
 
     first_batch = next(data_iter)
+    resume_milestone = int(train_cfg.get("resume_milestone", 0))
     # default_scale: keep the configured scale_factor instead of calibrating
-    # (reference ddm/ddm_const_2.py:477-489)
+    # (reference ddm/ddm_const_2.py:477-489). On RESUME, skip calibration —
+    # the orbax-restored TrainState.scale_factor is the original run's value
+    # and wins (reference train_uncond_ldm.py:206-207)
     if (
         latent
         and model.scale_by_std
         and not model.scale_by_softsign
         and not model_cfg.get("default_scale", False)
+        and not resume_milestone
     ):
         sf = model.calibrate_scale_factor(
             fs_params, jnp.asarray(first_batch["image"]), jax.random.PRNGKey(0)
@@ -167,12 +182,18 @@ def run_training(args, *, conditional: bool, latent: bool):
             update_after_step=int(train_cfg.get("ema_update_after_step", 10000)),
             update_every=int(train_cfg.get("ema_update_every", 8)),
         ),
-        resume_milestone=int(train_cfg.get("resume_milestone", 0)),
+        resume_milestone=resume_milestone,
         fs_params=fs_params,
         sample_batch_size=min(int(data_cfg["batch_size"]), 64),
         # ZeRO-3-style param/opt/EMA sharding over 'data' (parallel/fsdp.py)
         fsdp=bool(train_cfg.get("fsdp", False)),
+        # model.pretrained: [{file, scope}] — graft converted npz subtrees
+        # (backbones/CLIP) into the init params (utils/weights.py)
+        params_transform=_pretrained_transform(model_cfg),
     )
+    # on LDM resume the Trainer swaps in the restored scale_factor — keep the
+    # milestone samplers below consistent with it
+    model = trainer.model
 
     sample_cond = None
     if conditional:

@@ -32,6 +32,7 @@ import numpy as np
 def main():
     p = argparse.ArgumentParser(description="convert torch weights to adm_tpu npz")
     p.add_argument("kind", choices=["ddm-checkpoint", "vae", "inception", "vgg16",
+                                    "clip",
                                     "swin_b", "resnet101", "efficientnet_b7"])
     p.add_argument("src")
     p.add_argument("dst")
@@ -57,6 +58,15 @@ def main():
         from adm_tpu.metrics.inception import convert_inception
 
         tree = convert_inception(torch.load(args.src, map_location="cpu"))
+    elif args.kind == "clip":
+        from adm_tpu.nn.text_encoder import convert_clip_text
+
+        sd = torch.load(args.src, map_location="cpu")
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        tree = {"params": convert_clip_text(sd)}
     elif args.kind == "vgg16":
         from adm_tpu.metrics.lpips import convert_vgg16_features
 

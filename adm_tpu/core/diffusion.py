@@ -367,13 +367,17 @@ class LatentDiffusion(DDPM):
     # reference repo): (img_rec, batch) -> per-sample (B,) loss
     aux_loss_fn: Optional[Callable] = None
 
-    def encode_input(self, fs_params: Any, x: Array, key: Array) -> Array:
+    def encode_input(
+        self, fs_params: Any, x: Array, key: Array,
+        scale_factor: Optional[Array] = None,
+    ) -> Array:
+        sf = self.scale_factor if scale_factor is None else scale_factor
         z = self.first_stage.encode_sample(fs_params, x, key)
         z = jax.lax.stop_gradient(z)
         if self.scale_by_softsign:
             return jax.nn.soft_sign(z)
         if self.scale_by_std:
-            return self.scale_factor * z
+            return sf * z
         return z
 
     def calibrate_scale_factor(self, fs_params: Any, x: Array, key: Array) -> Array:
@@ -381,11 +385,17 @@ class LatentDiffusion(DDPM):
         z = self.first_stage.encode_sample(fs_params, x, key)
         return 1.0 / jnp.std(z.reshape(-1))
 
-    def training_step(self, params, batch, key, *, train=True, fs_params=None):
+    def training_step(self, params, batch, key, *, train=True, fs_params=None,
+                      scale_factor: Optional[Array] = None):
+        """`scale_factor` (a traced scalar, e.g. TrainState.scale_factor)
+        overrides the static dataclass field so the calibrated value persists
+        through checkpoints and resume uses the ORIGINAL run's factor —
+        matching the reference, which restores it from the checkpoint
+        (train_uncond_ldm.py:206-207, ddm/ddm_const_2.py:473-491)."""
         x = batch["image"]
         cond = batch.get("cond")
         k_e, k_r, k_t, k_p = jax.random.split(key, 4)
-        z = self.encode_input(fs_params, x, k_e)
+        z = self.encode_input(fs_params, x, k_e, scale_factor)
         ref_z = None
         if self.process_name == "res":
             # residual LDM trains on the LATENT residual z - ref_z
@@ -396,14 +406,15 @@ class LatentDiffusion(DDPM):
                 raise ValueError(
                     "residual LDM needs batch['ref'] or ['cond']"
                 )
-            ref_z = self.encode_input(fs_params, ref_img, k_r)
+            ref_z = self.encode_input(fs_params, ref_img, k_r, scale_factor)
             z = z - ref_z
         t = (
             jax.random.uniform(k_t, (z.shape[0],), jnp.float32) * (1.0 - self.eps)
             + self.eps
         )
+        sf = self.scale_factor if scale_factor is None else scale_factor
         extras = {"x": x, "fs_params": fs_params, "batch": batch,
-                  "ref_z": ref_z}
+                  "ref_z": ref_z, "scale_factor": sf}
         return self.p_losses(params, z, t, k_p, cond, train=train, extras=extras)
 
     def extra_vlb(self, z_rec, z_start, t, extras) -> Array:
@@ -419,6 +430,7 @@ class LatentDiffusion(DDPM):
         if (self.use_disloss or self.aux_loss_fn is not None) and extras is not None:
             x = extras["x"]
             fs_params = extras["fs_params"]
+            sf = extras.get("scale_factor", self.scale_factor)
             # residual process reconstructs ref_z + residual before decode
             # (ddm/ddm_res.py:752,797: img_rec = decode_first_stage(x_rec))
             ref_z = extras.get("ref_z")
@@ -428,7 +440,7 @@ class LatentDiffusion(DDPM):
                 # image loss re-injected through SpecifyGradient
                 # (ddm_const_2.py:566-580)
                 img_rec = self.first_stage.decode(
-                    fs_params, jax.lax.stop_gradient(z_dec) / self.scale_factor
+                    fs_params, jax.lax.stop_gradient(z_dec) / sf
                 )
                 img_rec = jnp.clip(img_rec, -1.0, 1.0)
                 # signed sum, per the reference (ddm_const_2.py:574:
@@ -447,13 +459,17 @@ class LatentDiffusion(DDPM):
                 vlb = vlb + specify_gradient(z_rec, jnp.mean(loss_tmp))
             else:
                 # aux hook alone (fork's segmentation loss, ddm_res.py:797-799:
-                # loss += loss_seg): decode WITH gradient — the reference
-                # backprops through the VAE decoder into the UNet
+                # loss += loss_seg): the reference's decode_first_stage is
+                # @torch.no_grad (ddm_res.py:828-829), so the seg term is a
+                # LOGGED CONSTANT contributing zero gradient — mirror that
+                # with stop_gradient on the decoded reconstruction
                 img_rec = self.first_stage.decode(
-                    fs_params, z_dec / self.scale_factor
+                    fs_params, jax.lax.stop_gradient(z_dec) / sf
                 )
                 img_rec = jnp.clip(img_rec, -1.0, 1.0)
-                vlb = vlb + self.aux_loss_fn(img_rec, extras["batch"])
+                vlb = vlb + jax.lax.stop_gradient(
+                    self.aux_loss_fn(img_rec, extras["batch"])
+                )
         return vlb
 
     def sample(

@@ -74,15 +74,22 @@ def batch_iterator(
             return list(pool.map(lambda i: dataset[int(i)], sel))
         return [dataset[int(i)] for i in sel]
 
-    while True:
-        order = rng.permutation(idx_all) if shuffle else idx_all
-        for start in range(0, len(order) - (local_bs - 1 if drop_last else 0), local_bs):
-            sel = order[start : start + local_bs]
-            if drop_last and len(sel) < local_bs:
-                break
-            yield _collate(load(sel))
-        if not loop:
-            return
+    # finally: shut the pool down when the iterator is exhausted (loop=False
+    # eval CLIs) or garbage-collected mid-epoch — otherwise every call leaks
+    # `num_workers` threads for the process lifetime
+    try:
+        while True:
+            order = rng.permutation(idx_all) if shuffle else idx_all
+            for start in range(0, len(order) - (local_bs - 1 if drop_last else 0), local_bs):
+                sel = order[start : start + local_bs]
+                if drop_last and len(sel) < local_bs:
+                    break
+                yield _collate(load(sel))
+            if not loop:
+                return
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False)
 
 
 def prefetch_iterator(it: Iterator, depth: int = 2) -> Iterator:

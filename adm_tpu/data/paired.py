@@ -13,6 +13,7 @@ Batch contracts match the reference (SURVEY.md section 2.7), NHWC:
 
 from __future__ import annotations
 
+import math
 import os
 from typing import Dict, Optional, Tuple
 
@@ -562,6 +563,87 @@ def random_rect_mask(shape: Tuple[int, int], rng: np.random.RandomState,
     return mask
 
 
+def _brush_strokes(s: int, max_tries: int, rng: np.random.RandomState,
+                   min_num_vertex: int = 4, max_num_vertex: int = 18,
+                   mean_angle: float = 2 * math.pi / 5,
+                   angle_range: float = 2 * math.pi / 15,
+                   min_width: int = 12, max_width: int = 48) -> np.ndarray:
+    """Free-form brush strokes, faithful to the reference's RandomBrush
+    (ddm/data.py:425-476): PIL polylines with ellipse joints, vertex angles
+    alternating around mean_angle, normal-distributed step radii, and final
+    per-axis coin-flip mirrors. RNG draws happen in the reference's exact
+    order so a seeded run is bit-identical to a transcription of the
+    original (tests/test_inpaint_masks.py). Returns uint8 (s, s), 1 = stroke.
+    """
+    from PIL import Image, ImageDraw
+
+    avg_r = math.sqrt(2 * s * s) / 8
+    canvas = Image.new("L", (s, s), 0)
+    for _ in range(rng.randint(max_tries)):
+        n_vertex = rng.randint(min_num_vertex, max_num_vertex)
+        lo = mean_angle - rng.uniform(0, angle_range)
+        hi = mean_angle + rng.uniform(0, angle_range)
+        # even segments head back (2*pi - a), odd segments forward — the
+        # zig-zag that gives reference strokes their character
+        angles = [
+            (2 * math.pi - rng.uniform(lo, hi)) if i % 2 == 0
+            else rng.uniform(lo, hi)
+            for i in range(n_vertex)
+        ]
+        pts = [(int(rng.randint(0, s)), int(rng.randint(0, s)))]
+        for a in angles:
+            r = np.clip(rng.normal(avg_r, avg_r // 2), 0, 2 * avg_r)
+            pts.append((
+                int(np.clip(pts[-1][0] + r * math.cos(a), 0, s)),
+                int(np.clip(pts[-1][1] + r * math.sin(a), 0, s)),
+            ))
+        draw = ImageDraw.Draw(canvas)
+        width = int(rng.uniform(min_width, max_width))
+        draw.line(pts, fill=1, width=width)
+        for x, y in pts:
+            draw.ellipse((x - width // 2, y - width // 2,
+                          x + width // 2, y + width // 2), fill=1)
+        # the reference calls Image.transpose here but DISCARDS the result
+        # (ddm/data.py:466-469) — a no-op upstream; the draws are still
+        # consumed to keep RNG sequences aligned
+        rng.random()
+        rng.random()
+    out = np.asarray(canvas, np.uint8)
+    if rng.random() > 0.5:
+        out = np.flip(out, 0)
+    if rng.random() > 0.5:
+        out = np.flip(out, 1)
+    return out
+
+
+def free_form_mask(s: int, rng: np.random.RandomState,
+                   hole_range: Tuple[float, float] = (0.0, 1.0)) -> np.ndarray:
+    """The reference's full mask generator (ddm/data.py:404-424): overhanging
+    random rectangles at two scales + brush strokes, with hole-ratio
+    rejection sampling. Returns float32 (s, s), 1 = kept, 0 = hole; the
+    hole fraction always lands strictly inside hole_range (so an untouched
+    all-ones mask is rejected at the default (0, 1) range too)."""
+    coef = min(hole_range[0] + hole_range[1], 1.0)
+    while True:
+        mask = np.ones((s, s), np.uint8)
+
+        def stamp(max_size):
+            w, h = rng.randint(max_size), rng.randint(max_size)
+            hw, hh = w // 2, h // 2
+            x = rng.randint(-hw, s - w + hw)
+            y = rng.randint(-hh, s - h + hh)
+            mask[max(y, 0): min(y + h, s), max(x, 0): min(x + w, s)] = 0
+
+        for _ in range(rng.randint(int(4 * coef))):
+            stamp(s // 2)
+        for _ in range(rng.randint(int(2 * coef))):
+            stamp(s)
+        mask = np.logical_and(mask, 1 - _brush_strokes(s, int(8 * coef), rng))
+        hole = 1.0 - np.mean(mask)
+        if hole_range[0] < hole < hole_range[1]:
+            return mask.astype(np.float32)
+
+
 def random_brush_mask(shape: Tuple[int, int], rng: np.random.RandomState,
                       max_strokes: int = 4) -> np.ndarray:
     """Free-form brush strokes (ddm/data.py:441-476, RandomBrush)."""
@@ -596,13 +678,18 @@ class InpaintDataset:
         img_folder: str,
         image_size=(256, 256),
         augment_horizontal_flip: bool = False,
-        mask_type: str = "both",  # 'rect' | 'brush' | 'both'
+        # 'free_form' = the reference generator (rect stamps + PIL brush
+        # strokes + hole-ratio rejection, ddm/data.py:404-476);
+        # 'rect' | 'brush' | 'both' = simplified fast generators (opt-in)
+        mask_type: str = "free_form",
+        hole_range: Tuple[float, float] = (0.0, 1.0),
         **kwargs,
     ):
         self.paths = list_images(img_folder)
         self.image_size = tuple(image_size)
         self.flip = augment_horizontal_flip
         self.mask_type = mask_type
+        self.hole_range = tuple(hole_range)
 
     def __len__(self):
         return len(self.paths)
@@ -615,7 +702,12 @@ class InpaintDataset:
         img = resize(load_image(self.paths[index]), self.image_size)
         if self.flip and np.random.rand() < 0.5:
             img = img[:, ::-1].copy()
-        if self.mask_type == "rect":
+        if self.mask_type == "free_form":
+            assert self.image_size[0] == self.image_size[1], (
+                "free_form masks are square (reference center-crops first)"
+            )
+            mask = free_form_mask(self.image_size[0], rng, self.hole_range)
+        elif self.mask_type == "rect":
             mask = random_rect_mask(self.image_size, rng)
         elif self.mask_type == "brush":
             mask = random_brush_mask(self.image_size, rng)

@@ -47,6 +47,21 @@ def load_inception_params(weights_path: Optional[str] = None):
     (`weights-inception-2015-12-05` release of torch-fidelity)."""
     if weights_path is None:
         weights_path = os.environ.get("ADM_TPU_INCEPTION_WEIGHTS")
+    if weights_path == "random":
+        # Fixed random-init InceptionV3: random conv features are still a
+        # projection of image statistics, so the Fréchet distance over them
+        # is a valid RELATIVE quality signal between milestones of the SAME
+        # run ("proxy-FID" trend). NOT comparable to published FID values —
+        # drop the real weights-inception-2015-12-05 file in via
+        # ADM_TPU_INCEPTION_WEIGHTS the moment it is available.
+        log.warning(
+            "using FIXED RANDOM-INIT InceptionV3 features (proxy-FID trend "
+            "metric, not a real FID)"
+        )
+        net = FIDInceptionV3(features_list=("2048",))
+        return jax.jit(net.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.uint8)
+        )
     if weights_path is None:
         raise FileNotFoundError(
             "InceptionV3 weights required: pass weights_path or set "
@@ -64,6 +79,9 @@ def load_inception_params(weights_path: Optional[str] = None):
     return jax.tree_util.tree_map(jnp.asarray, {"params": tree})
 
 
+_EXTRACT_JIT = {}
+
+
 def extract_features(
     src: Source,
     params,
@@ -71,8 +89,17 @@ def extract_features(
     batch_size: int = 128,
     image_size=None,
 ):
-    net = FIDInceptionV3(features_list=tuple(features))
-    fn = jax.jit(lambda x: net.apply(params, x))
+    # cached jit, params as an ARGUMENT: a closure would embed the ~24M-param
+    # tree as HLO constants (axon remote-compile HTTP 413) and retrace on
+    # every call (per-milestone recompiles in the in-train FID hook)
+    key = tuple(features)
+    if key not in _EXTRACT_JIT:
+        m = FIDInceptionV3(features_list=key)
+        _EXTRACT_JIT[key] = jax.jit(lambda p, x: m.apply(p, x))
+    jit_fn = _EXTRACT_JIT[key]
+
+    def fn(x):
+        return jit_fn(params, x)
     feats = {k: [] for k in features}
     buf = []
 

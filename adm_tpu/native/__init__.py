@@ -43,7 +43,10 @@ def _build() -> Optional[Path]:
     if out.exists():
         return out
     out.parent.mkdir(parents=True, exist_ok=True)
-    tmp = out.with_suffix(".so.tmp")
+    # PID-unique tmp: concurrent processes (multi-host, trainer + eval CLI)
+    # sharing the cache must not interleave writes into one tmp file — each
+    # builds its own, and os.replace publishes whole files atomically
+    tmp = out.with_suffix(f".so.tmp.{os.getpid()}")
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
         str(_SRC), "-ljpeg", "-lpng", "-pthread", "-o", str(tmp),

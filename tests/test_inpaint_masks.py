@@ -1,0 +1,130 @@
+"""Faithful free-form inpaint masks (VERDICT r2 item 8).
+
+Oracle: a direct transcription of the reference generator
+(/root/reference/ddm/data.py:404-476 — random_mask + RandomBrush) driven by
+a seeded RandomState. adm_tpu's free_form_mask consumes RNG draws in the
+same order, so outputs must be bit-identical.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from PIL import Image, ImageDraw
+
+from adm_tpu.data.paired import _brush_strokes, free_form_mask
+
+
+# --- reference transcription (ddm/data.py:404-476), np.random -> rng -------
+def _ref_random_brush(rng, max_tries, s, min_num_vertex=4, max_num_vertex=18,
+                      mean_angle=2 * math.pi / 5,
+                      angle_range=2 * math.pi / 15,
+                      min_width=12, max_width=48):
+    H, W = s, s
+    average_radius = math.sqrt(H * H + W * W) / 8
+    mask = Image.new("L", (W, H), 0)
+    for _ in range(rng.randint(max_tries)):
+        num_vertex = rng.randint(min_num_vertex, max_num_vertex)
+        angle_min = mean_angle - rng.uniform(0, angle_range)
+        angle_max = mean_angle + rng.uniform(0, angle_range)
+        angles = []
+        vertex = []
+        for i in range(num_vertex):
+            if i % 2 == 0:
+                angles.append(2 * math.pi - rng.uniform(angle_min, angle_max))
+            else:
+                angles.append(rng.uniform(angle_min, angle_max))
+        h, w = mask.size
+        vertex.append((int(rng.randint(0, w)), int(rng.randint(0, h))))
+        for i in range(num_vertex):
+            r = np.clip(rng.normal(loc=average_radius,
+                                   scale=average_radius // 2),
+                        0, 2 * average_radius)
+            new_x = np.clip(vertex[-1][0] + r * math.cos(angles[i]), 0, w)
+            new_y = np.clip(vertex[-1][1] + r * math.sin(angles[i]), 0, h)
+            vertex.append((int(new_x), int(new_y)))
+        draw = ImageDraw.Draw(mask)
+        width = int(rng.uniform(min_width, max_width))
+        draw.line(vertex, fill=1, width=width)
+        for v in vertex:
+            draw.ellipse((v[0] - width // 2, v[1] - width // 2,
+                          v[0] + width // 2, v[1] + width // 2), fill=1)
+        if rng.random() > 0.5:
+            mask.transpose(Image.FLIP_LEFT_RIGHT)  # discarded upstream too
+        if rng.random() > 0.5:
+            mask.transpose(Image.FLIP_TOP_BOTTOM)
+    mask = np.asarray(mask, np.uint8)
+    if rng.random() > 0.5:
+        mask = np.flip(mask, 0)
+    if rng.random() > 0.5:
+        mask = np.flip(mask, 1)
+    return mask
+
+
+def _ref_random_mask(rng, s, hole_range=(0, 1)):
+    coef = min(hole_range[0] + hole_range[1], 1.0)
+    while True:
+        mask = np.ones((s, s), np.uint8)
+
+        def Fill(max_size):
+            w, h = rng.randint(max_size), rng.randint(max_size)
+            ww, hh = w // 2, h // 2
+            x = rng.randint(-ww, s - w + ww)
+            y = rng.randint(-hh, s - h + hh)
+            mask[max(y, 0): min(y + h, s), max(x, 0): min(x + w, s)] = 0
+
+        def MultiFill(max_tries, max_size):
+            for _ in range(rng.randint(max_tries)):
+                Fill(max_size)
+
+        MultiFill(int(4 * coef), s // 2)
+        MultiFill(int(2 * coef), s)
+        mask = np.logical_and(mask, 1 - _ref_random_brush(rng, int(8 * coef), s))
+        hole_ratio = 1 - np.mean(mask)
+        if hole_ratio <= hole_range[0] or hole_ratio >= hole_range[1]:
+            continue
+        return mask.astype(np.float32)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 7, 1234])
+def test_brush_bit_exact_vs_reference(seed):
+    ours = _brush_strokes(256, 8, np.random.RandomState(seed))
+    ref = _ref_random_brush(np.random.RandomState(seed), 8, 256)
+    np.testing.assert_array_equal(ours, ref)
+
+
+@pytest.mark.parametrize("seed", [0, 3, 42, 999])
+def test_full_mask_bit_exact_vs_reference(seed):
+    ours = free_form_mask(256, np.random.RandomState(seed))
+    ref = _ref_random_mask(np.random.RandomState(seed), 256)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_hole_ratio_distribution():
+    """Rejection sampling pins the hole fraction strictly inside hole_range;
+    the default range still rejects untouched all-ones masks."""
+    rng = np.random.RandomState(0)
+    ratios = [1.0 - free_form_mask(64, rng).mean() for _ in range(50)]
+    assert all(0.0 < r < 1.0 for r in ratios)
+    rng = np.random.RandomState(1)
+    mid = [1.0 - free_form_mask(64, rng, (0.2, 0.8)).mean() for _ in range(20)]
+    assert all(0.2 < r < 0.8 for r in mid)
+
+
+def test_inpaint_dataset_free_form(tmp_path):
+    from PIL import Image as PILImage
+
+    from adm_tpu.data.paired import InpaintDataset
+
+    for i in range(2):
+        PILImage.fromarray(
+            np.random.RandomState(i).randint(0, 255, (64, 64, 3), np.uint8)
+        ).save(tmp_path / f"img{i}.png")
+    ds = InpaintDataset(str(tmp_path), image_size=(32, 32))
+    item = ds[0]
+    assert item["image"].shape == (32, 32, 3)
+    assert item["ori_mask"].shape == (32, 32, 1)
+    m = item["ori_mask"][..., 0]
+    assert 0.0 < 1.0 - m.mean() < 1.0
+    # cond is the masked image
+    np.testing.assert_allclose(item["cond"], item["image"] * item["ori_mask"])

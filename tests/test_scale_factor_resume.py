@@ -1,0 +1,128 @@
+"""LDM scale_factor persistence through checkpoint/resume (VERDICT r2 #3).
+
+The reference restores scale_factor from the checkpoint on resume
+(train_uncond_ldm.py:206-207) rather than recalibrating on the current first
+batch. Here the calibrated value lives in TrainState.scale_factor, the jitted
+step reads it dynamically, and orbax round-trips it bit-exactly.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adm_tpu.core.diffusion import LatentDiffusion
+from adm_tpu.nn.unets import EDMPrecond
+from adm_tpu.train.state import EmaConfig
+from adm_tpu.train.trainer import Trainer
+from adm_tpu.vae.autoencoder import AutoencoderKL, FirstStage
+
+TINY_DD = dict(
+    ch=8, out_ch=3, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=(),
+    dropout=0.0, in_channels=3, resolution=16, z_channels=2, double_z=True,
+)
+TINY_UNET = dict(model_channels=8, channel_mult=(1,), num_blocks=1,
+                 attn_resolutions=(), dropout=0.0)
+
+
+def _make_model(scale_factor):
+    vae = AutoencoderKL(ddconfig=TINY_DD, embed_dim=2)
+    fs = FirstStage(vae)
+    net = EDMPrecond(
+        img_resolution=8, img_channels=2, variant="const2", n_decoders=2,
+        model_kwargs=TINY_UNET,
+    )
+    return LatentDiffusion(
+        net=net, process_name="const2", image_size=(16, 16), channels=2,
+        sampling_timesteps=2, first_stage=fs, scale_factor=scale_factor,
+        scale_by_std=True,
+    ), fs
+
+
+def _data_iter(seed=0):
+    rng = np.random.default_rng(seed)
+    while True:
+        yield {"image": rng.standard_normal((8, 16, 16, 3)).astype(np.float32)}
+
+
+def _trainer(tmp_path, scale_factor, resume=0):
+    model, fs = _make_model(scale_factor)
+    fs_params = fs.init(jax.random.PRNGKey(0), (16, 16), 3)
+    return Trainer(
+        model, _data_iter(),
+        train_num_steps=4, train_lr=1e-4, warmup_steps=1,
+        save_and_sample_every=2, log_freq=1,
+        results_folder=str(tmp_path), fs_params=fs_params,
+        ema_cfg=EmaConfig(update_after_step=1, update_every=1),
+        resume_milestone=resume, sample_batch_size=2, tensorboard=False,
+    )
+
+
+def test_scale_factor_persists_through_resume(tmp_path):
+    # original run: calibrated factor 2.5 seeds the state and survives orbax
+    tr = _trainer(tmp_path, scale_factor=2.5)
+    assert float(tr.state.scale_factor) == 2.5
+    tr.train(num_steps=2)
+    assert float(tr.state.scale_factor) == 2.5
+
+    # resumed run built with a DIFFERENT (would-be recalibrated) factor:
+    # the restored checkpoint value must win, bit-exactly, in both the
+    # state and the rebuilt model/sampler
+    tr2 = _trainer(tmp_path, scale_factor=1.0, resume=1)
+    assert float(tr2.state.scale_factor) == 2.5
+    assert float(tr2.model.scale_factor) == 2.5
+
+
+def test_train_step_uses_state_scale_factor(tmp_path):
+    """The jitted step must read state.scale_factor, not the model field."""
+    tr = _trainer(tmp_path, scale_factor=2.0)
+    batch = {"image": jnp.asarray(next(_data_iter())["image"])}
+
+    # manual loss at the state's factor vs at a different injected factor —
+    # the step must track the state value
+    key = jax.random.fold_in(tr.train_key, 0)
+    loss_state, _ = tr.model.training_step(
+        tr.state.params, batch, key, fs_params=tr.fs_params,
+        scale_factor=tr.state.scale_factor,
+    )
+    model_other = dataclasses.replace(tr.model, scale_factor=7.0)
+    loss_other, _ = model_other.training_step(
+        tr.state.params, batch, key, fs_params=tr.fs_params,
+    )
+    assert not np.isclose(float(loss_state), float(loss_other))
+
+    state2 = tr.state.replace(scale_factor=jnp.asarray(7.0, jnp.float32))
+    _, metrics = tr._step(state2, batch, tr.train_key)
+    assert np.isclose(float(metrics["loss"]), float(loss_other), rtol=1e-5)
+
+
+def test_aux_only_decode_is_no_grad(tmp_path):
+    """ADVICE r2 (medium): the aux-only branch must contribute ZERO gradient
+    — the reference's decode_first_stage is @torch.no_grad (ddm_res.py:828)
+    so its seg loss is a logged constant."""
+    model, fs = _make_model(2.0)
+    fs_params = fs.init(jax.random.PRNGKey(0), (16, 16), 3)
+    aux_model = dataclasses.replace(
+        model,
+        aux_loss_fn=lambda img, batch: jnp.sum(
+            img.reshape(img.shape[0], -1) ** 2, axis=1
+        ),
+    )
+    params = aux_model.init(jax.random.PRNGKey(1))
+    batch = {"image": jnp.asarray(next(_data_iter())["image"])}
+    key = jax.random.PRNGKey(3)
+
+    def loss_with(m):
+        def f(p):
+            return m.training_step(p, batch, key, fs_params=fs_params)[0]
+        return f
+
+    l_aux, g_aux = jax.value_and_grad(loss_with(aux_model))(params)
+    l_base, g_base = jax.value_and_grad(loss_with(model))(params)
+    # the aux term changes the VALUE but not the GRADIENT
+    assert float(l_aux) != pytest.approx(float(l_base))
+    for a, b in zip(jax.tree_util.tree_leaves(g_aux),
+                    jax.tree_util.tree_leaves(g_base)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -1,5 +1,5 @@
 """TPU perf probe: fenced, end-to-end measurements of the flagship step and
-its constituent costs, written progressively to PERF_r2.jsonl.
+its constituent costs, written progressively to PERF_r3.jsonl (round-3 probes; PERF_r2.jsonl is the round-2 record).
 
 Usage:  python tools/perf_probe.py [exp ...]
 Experiments: conv_mfu gn_chain attn step_base step_hw step_nodrop fwd_only
@@ -22,7 +22,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import jax
 import jax.numpy as jnp
 
-OUT = Path(__file__).resolve().parent.parent / "PERF_r2.jsonl"
+OUT = Path(__file__).resolve().parent.parent / "PERF_r3.jsonl"
 PEAK_BF16 = 197e12  # v5e
 
 
@@ -214,13 +214,15 @@ def attn_pallas():
 
 # ---------------------------------------------------------------------------
 def _make_step(hw_dropout: bool, dropout: float = 0.1,
-               pallas_attention: bool = False):
+               pallas_attention: bool = False, model_channels: int = 192,
+               channel_mult=(1, 2, 2, 2)):
     from adm_tpu.core.diffusion import DDPM
     from adm_tpu.nn.unets import EDMPrecond
     from adm_tpu.train.state import EmaConfig, TrainState
     from adm_tpu.train.trainer import make_optimizer, make_train_step
 
-    kwargs = dict(model_channels=192, channel_mult=(1, 2, 2, 2), num_blocks=3,
+    kwargs = dict(model_channels=model_channels, channel_mult=channel_mult,
+                  num_blocks=3,
                   attn_resolutions=(16, 8), dropout=dropout, augment_dim=9,
                   use_hw_dropout=hw_dropout,
                   use_pallas_attention=pallas_attention)
@@ -249,12 +251,38 @@ def _time_step(state, jitted, batch, key, steps=20):
 
 
 def step_variant(name: str, hw: bool, dropout: float = 0.1,
-                 pallas_attention: bool = False):
+                 pallas_attention: bool = False, model_channels: int = 192,
+                 channel_mult=(1, 2, 2, 2)):
     batch = {"image": jnp.zeros((128, 32, 32, 3), jnp.float32)}
     key = jax.random.PRNGKey(1)
-    model, state, jitted = _make_step(hw, dropout, pallas_attention)
+    model, state, jitted = _make_step(hw, dropout, pallas_attention,
+                                      model_channels, channel_mult)
     dt, state = _time_step(state, jitted, batch, key)
     emit(exp=name, ms=round(dt * 1e3, 1), imgs_per_sec=round(128 / dt, 1))
+
+
+def grads_only():
+    """value_and_grad WITHOUT optimizer/EMA: the difference vs the full
+    step is the non-matmul tail (clip + AdamW + EMA lerp) as a line item
+    (VERDICT r2 item 4)."""
+    model, state, _ = _make_step(True, pallas_attention=True)
+    batch = {"image": jnp.zeros((128, 32, 32, 3), jnp.float32)}
+
+    @jax.jit
+    def vg(params, batch, key):
+        def loss_fn(p):
+            return model.training_step(p, batch, key)[0]
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        import optax
+        return loss + optax.global_norm(grads)
+
+    _ = float(vg(state.params, batch, jax.random.PRNGKey(1)))
+    t0 = time.perf_counter()
+    for i in range(10):
+        _ = float(vg(state.params, batch, jax.random.PRNGKey(1)))
+    dt = (time.perf_counter() - t0) / 10
+    emit(exp="grads_only", ms=round(dt * 1e3, 1),
+         imgs_per_sec=round(128 / dt, 1))
 
 
 def fwd_only():
@@ -287,6 +315,16 @@ EXPS = {
     "step_nodrop": lambda: step_variant("step_nodrop", hw=False, dropout=0.0),
     "step_attn": lambda: step_variant("step_attn", hw=True,
                                       pallas_attention=True),
+    # channel padding to lane multiples (VERDICT r2 item 4): 192 -> 256 at
+    # the 32x32 level via model_channels=128, mult (2,3,3,3) => channels
+    # (256, 384, 384, 384), every conv 128-lane-aligned. NON-parity (wider
+    # model, ~1.5x level-1 FLOPs); wins only if the 59->79% MFU gap pays
+    # for the extra work end-to-end.
+    "step_pad256": lambda: step_variant("step_pad256", hw=True,
+                                        pallas_attention=True,
+                                        model_channels=128,
+                                        channel_mult=(2, 3, 3, 3)),
+    "grads_only": grads_only,
     "fwd_only": fwd_only,
 }
 

@@ -1,22 +1,38 @@
-"""Long-run 'does it learn' harness (VERDICT round-1 item 10).
+"""Long-run 'does it learn' harness (VERDICT round-1 item 10, round-2 item 1).
 
 Trains the FULL cifar flagship (192ch two-decoder EDMPrecond, const
-process, weighting_loss, dropout 0.1, EMA) for several thousand steps on
+process, weighting_loss, dropout 0.1, EMA) for many thousand steps on
 the procedural ShapesDataset (no real data is mounted in this environment;
 shapes are a distribution whose learning is visible in samples), writing:
 
   results/long_run/training_log.csv     loss curve
   results/long_run/samples-*.png        milestone EMA sample grids
+  results/long_run/quality_trend.json   milestone -> proxy-FID trend
   results/long_run/summary.json         first/last loss, throughput
+  results/long_run/heartbeat            liveness marker (tools/watchdog.py)
+  results/long_run/run.pid              REAL python pid (not the setsid parent)
+
+Proxy-FID (VERDICT r2 item 1a): Fréchet distance over a FIXED random-init
+InceptionV3's pool features — a valid RELATIVE quality metric across
+milestones of the same run; becomes a real FID the moment
+ADM_TPU_INCEPTION_WEIGHTS points at the 2015-12-05 weights. Reference
+protocol: 50k samples vs train set, 10 steps, EMA weights
+(train_uncond_dpm.py:363-365, configs/cifar10/...yaml:67-74) — the milestone
+trend uses ADM_TPU_PROXY_FID_N samples (default 2048) for cadence; run
+tools/eval_fid.py for the protocol-scale 50k pass.
 
 Run:  python tools/train_long.py [steps] [resume_milestone]
 (resume_milestone N restores results/long_run/model-N and continues to
 `steps` — exercises the production checkpoint-resume path on-chip)
+
+Unattended operation: `python tools/watchdog.py <steps>` wraps this script
+with stall detection + auto-resume.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -26,6 +42,25 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+PROXY_FID_N = int(os.environ.get("ADM_TPU_PROXY_FID_N", "2048"))
+SAMPLE_BS = 128
+
+
+def _ref_features(out: Path, data, inc_params):
+    """Fixed reference-set inception features, computed once and cached."""
+    from adm_tpu.metrics.metric import extract_features
+
+    cache = out / "ref_feats.npy"
+    if cache.exists():
+        return np.load(cache)
+    imgs = np.stack([
+        ((data[i]["image"] + 1) * 127.5).clip(0, 255).astype(np.uint8)
+        for i in range(PROXY_FID_N)
+    ])
+    feats = extract_features(imgs, inc_params, ("2048",), batch_size=SAMPLE_BS)
+    np.save(cache, feats["2048"])
+    return feats["2048"]
 
 
 def main():
@@ -43,6 +78,7 @@ def main():
 
     out = Path("results/long_run")
     out.mkdir(parents=True, exist_ok=True)
+    (out / "run.pid").write_text(str(os.getpid()))
 
     net, res = _flagship()
     model = DDPM(
@@ -52,6 +88,53 @@ def main():
     data = ShapesDataset(image_size=(res, res))
     it = batch_iterator(data, batch_size=128, seed=0)
 
+    # ---- proxy-FID scoring (fails soft: the run must never die from eval)
+    proxy_state = {}
+
+    def _proxy_fid(trainer) -> float | None:
+        try:
+            from adm_tpu.metrics.fid import compute_fid
+            from adm_tpu.metrics.metric import (
+                extract_features,
+                load_inception_params,
+            )
+
+            if "inc" not in proxy_state:
+                proxy_state["inc"] = load_inception_params(
+                    os.environ.get("ADM_TPU_INCEPTION_WEIGHTS", "random")
+                )
+                proxy_state["ref"] = _ref_features(
+                    out, data, proxy_state["inc"]
+                )
+                proxy_state["sampler"] = jax.jit(
+                    lambda p, k: model.sample(
+                        p, k, batch_size=SAMPLE_BS, unnormalize=True
+                    )
+                )
+            frames = []
+            for i in range(PROXY_FID_N // SAMPLE_BS):
+                imgs = proxy_state["sampler"](
+                    trainer.state.ema_params, jax.random.PRNGKey(1000 + i)
+                )
+                frames.append(
+                    (np.asarray(imgs) * 255).clip(0, 255).astype(np.uint8)
+                )
+                # keep the watchdog heartbeat fresh through the eval loop
+                trainer._heartbeat(int(trainer.state.step))
+            feats = extract_features(
+                np.concatenate(frames), proxy_state["inc"], ("2048",),
+                batch_size=SAMPLE_BS,
+            )
+            return float(compute_fid(
+                jnp.asarray(feats["2048"]), jnp.asarray(proxy_state["ref"])
+            ))
+        except Exception as e:  # noqa: BLE001 — eval must not kill training
+            print(f"[long_run] proxy-FID failed: {e}", flush=True)
+            return None
+
+    trend_path = out / "quality_trend.json"
+    trend = json.loads(trend_path.read_text()) if trend_path.exists() else []
+
     def sample_fn(trainer, milestone):
         imgs = np.asarray(
             trainer._sample(trainer.state.ema_params, jax.random.PRNGKey(42))
@@ -59,6 +142,17 @@ def main():
         path = str(out / f"samples-{milestone}.png")
         save_image_grid(np.clip(imgs, 0, 1), path, nrow=4)
         print(f"[long_run] wrote {path}", flush=True)
+        if isinstance(milestone, int):
+            fid = _proxy_fid(trainer)
+            if fid is not None:
+                trend.append({
+                    "milestone": milestone,
+                    "step": int(milestone) * trainer.save_and_sample_every,
+                    "proxy_fid": round(fid, 4),
+                })
+                trend_path.write_text(json.dumps(trend, indent=1))
+                print(f"[long_run] milestone {milestone} proxy_fid={fid:.3f}",
+                      flush=True)
         # retention: keep the 2 newest orbax milestones (3 GB each)
         import re
         import shutil
@@ -85,6 +179,24 @@ def main():
         sample_batch_size=16,
         resume_milestone=resume,
     )
+    # actual restored step (ADVICE r2: don't hardcode milestone spacing)
+    start_step = int(trainer.state.step)
+    trainer._heartbeat(start_step)
+    # warm-up eval at the current state: compiles the sampler + inception
+    # programs UP FRONT (inside the watchdog's launch grace window, so
+    # in-train milestones never block the heartbeat on a cold compile) and
+    # records a baseline trend point for this launch
+    _ = np.asarray(
+        trainer._sample(trainer.state.ema_params, jax.random.PRNGKey(42))
+    )  # warm the b16 milestone-grid sampler inside the grace window too
+    trainer._heartbeat(start_step)
+    fid0 = _proxy_fid(trainer)
+    if fid0 is not None:
+        trend.append({"milestone": f"launch@{start_step}",
+                      "step": start_step, "proxy_fid": round(fid0, 4)})
+        trend_path.write_text(json.dumps(trend, indent=1))
+        print(f"[long_run] launch step {start_step} proxy_fid={fid0:.3f}",
+              flush=True)
     t0 = time.time()
     if not resume:
         sample_fn(trainer, 0)  # pre-training grid: pure noise baseline
@@ -96,16 +208,19 @@ def main():
         for line in (out / "training_log.csv").read_text().strip().splitlines()[1:]
     ]
     losses = [float(r[1]) for r in rows]
-    run_steps = steps - resume * 2000  # milestones land every 2000 steps
+    run_steps = steps - start_step
     summary = {
         "steps": steps,
-        "resumed_from_step": resume * 2000,
+        "resumed_from_step": start_step,
         "wall_seconds": round(dt, 1),
         "imgs_per_sec": round(run_steps * 128 / dt, 1),
+        # steady_imgs_per_sec: compile + milestone save/sample/eval excluded
+        **getattr(trainer, "last_run_stats", {}),
         "first_logged_loss": losses[0],
         "last_logged_loss": losses[-1],
         "min_loss": min(losses),
         "loss_drop_ratio": round(losses[-1] / max(losses[0], 1e-9), 4),
+        "proxy_fid_trend": trend[-5:],
     }
     (out / "summary.json").write_text(json.dumps(summary, indent=1))
     print(json.dumps(summary), flush=True)

@@ -1,0 +1,129 @@
+"""Stall watchdog for unattended long runs (VERDICT r2 item 7).
+
+The axon tunnel can drop an RPC mid-run: the training process then
+futex-sleeps forever at 0% CPU while the device is healthy (CLAUDE.md).
+Detection: the Trainer writes a `heartbeat` file at every log point; if it
+goes stale past --timeout, the child is killed (SIGKILL, by its REAL pid —
+we spawned it, no pgrep guessing) and relaunched resuming from the newest
+orbax milestone in the results folder.
+
+Usage:
+  python tools/watchdog.py <steps>                # wraps tools/train_long.py
+  python tools/watchdog.py <steps> --timeout 900
+
+Library: run_watched() is generic over any (resume_milestone -> argv)
+command factory; tests/test_watchdog.py drives it with a fake trainer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import signal
+import subprocess
+import sys
+import time
+from pathlib import Path
+from typing import Callable, List, Optional
+
+
+def newest_milestone(results_dir: Path) -> int:
+    """Largest N among results_dir/model-N orbax checkpoints (0 if none)."""
+    best = 0
+    if results_dir.is_dir():
+        for d in results_dir.iterdir():
+            m = re.fullmatch(r"model-(\d+)", d.name)
+            if m and d.is_dir():
+                best = max(best, int(m.group(1)))
+    return best
+
+
+def _heartbeat_age(path: Path) -> Optional[float]:
+    try:
+        return time.time() - path.stat().st_mtime
+    except OSError:
+        return None
+
+
+def run_watched(
+    make_cmd: Callable[[int], List[str]],
+    results_dir: Path,
+    *,
+    timeout: float = 900.0,
+    poll: float = 10.0,
+    grace: float = 1200.0,
+    max_restarts: int = 20,
+    log=print,
+) -> int:
+    """Run make_cmd(resume_milestone) under stall supervision.
+
+    grace: allowance before the FIRST heartbeat of each launch (backend init
+    ~5 min + train-step compile can exceed 10 min on the tunneled backend).
+    Returns the final exit code (0 = child completed normally).
+    """
+    heartbeat = results_dir / "heartbeat"
+    restarts = 0
+    while True:
+        resume = newest_milestone(results_dir)
+        cmd = make_cmd(resume)
+        launch_t = time.time()
+        log(f"[watchdog] launch (resume={resume}): {' '.join(cmd)}")
+        # new session: SIGKILL to the group catches helper threads/forks
+        child = subprocess.Popen(cmd, start_new_session=True)
+        stalled = False
+        while True:
+            rc = child.poll()
+            if rc is not None:
+                break
+            age = _heartbeat_age(heartbeat)
+            fresh = age is not None and heartbeat.stat().st_mtime >= launch_t
+            limit = timeout if fresh else grace
+            ref_age = age if fresh else time.time() - launch_t
+            if ref_age > limit:
+                log(f"[watchdog] STALL: heartbeat age {ref_age:.0f}s > "
+                    f"{limit:.0f}s — killing pid {child.pid}")
+                try:
+                    os.killpg(os.getpgid(child.pid), signal.SIGKILL)
+                except (ProcessLookupError, PermissionError):
+                    child.kill()
+                child.wait()
+                stalled = True
+                break
+            time.sleep(poll)
+        if not stalled:
+            if rc == 0:
+                log("[watchdog] child completed")
+                return 0
+            log(f"[watchdog] child exited rc={rc}")
+        restarts += 1
+        if restarts > max_restarts:
+            log(f"[watchdog] giving up after {max_restarts} restarts")
+            return 1
+        time.sleep(2.0)
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 6000
+    timeout = 900.0
+    if "--timeout" in sys.argv:
+        timeout = float(sys.argv[sys.argv.index("--timeout") + 1])
+    results = Path("results/long_run")
+    results.mkdir(parents=True, exist_ok=True)
+    here = Path(__file__).resolve().parent
+
+    def make_cmd(resume: int) -> List[str]:
+        return [sys.executable, str(here / "train_long.py"), str(steps),
+                str(resume)]
+
+    # grace 3600: backend init (~5 min) + cold compiles of the train step,
+    # samplers, and inception eval can stack to ~30+ min on the tunnel
+    rc = run_watched(make_cmd, results, timeout=timeout, grace=3600.0)
+    summary = results / "summary.json"
+    if summary.exists():
+        print(json.dumps(json.loads(summary.read_text())))
+    sys.exit(rc)
+
+
+if __name__ == "__main__":
+    main()
