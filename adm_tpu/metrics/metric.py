@@ -41,6 +41,16 @@ def _iter_images(src: Source, image_size=None):
         yield from src
 
 
+def fid_feature_key(weights_path: Optional[str]) -> str:
+    """Feature layer for Fréchet/kernel distances. Real weights use the
+    standard '2048' pool. With weights_path == 'random' (proxy mode), deep
+    features COLLAPSE through ~90 random conv layers (measured: std 3e-4,
+    FID ~= 0 between any two image sets) while the shallow '192' features
+    discriminate strongly (FID 0.002 within-distribution vs 0.80 against
+    noise, 363x separation) — so the proxy scores on '192'."""
+    return "192" if weights_path == "random" else "2048"
+
+
 def load_inception_params(weights_path: Optional[str] = None):
     """Load converted torch-fidelity weights; see
     adm_tpu.metrics.inception.convert_inception for the one-time conversion
@@ -56,9 +66,9 @@ def load_inception_params(weights_path: Optional[str] = None):
         # ADM_TPU_INCEPTION_WEIGHTS the moment it is available.
         log.warning(
             "using FIXED RANDOM-INIT InceptionV3 features (proxy-FID trend "
-            "metric, not a real FID)"
+            "metric on the '192' layer, not a real FID)"
         )
-        net = FIDInceptionV3(features_list=("2048",))
+        net = FIDInceptionV3(features_list=("192",))
         return jax.jit(net.init)(
             jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.uint8)
         )
@@ -140,10 +150,13 @@ def calculate_metrics(
     image_size=None,
     kid_subset_size: int = 1000,
 ) -> dict:
+    if weights_path is None:
+        weights_path = os.environ.get("ADM_TPU_INCEPTION_WEIGHTS")
     params = load_inception_params(weights_path)
+    feat = fid_feature_key(weights_path)
     features = []
     if fid or kid:
-        features.append("2048")
+        features.append(feat)
     if isc:
         features.append("logits_unbiased")
     f1 = extract_features(input1, params, features, batch_size, image_size)
@@ -154,15 +167,15 @@ def calculate_metrics(
         out["inception_score_std"] = float(s)
     if fid or kid:
         assert input2 is not None, "fid/kid need a second input"
-        f2 = extract_features(input2, params, ["2048"], batch_size, image_size)
+        f2 = extract_features(input2, params, [feat], batch_size, image_size)
         if fid:
             out["frechet_inception_distance"] = float(
-                compute_fid(jnp.asarray(f1["2048"]), jnp.asarray(f2["2048"]))
+                compute_fid(jnp.asarray(f1[feat]), jnp.asarray(f2[feat]))
             )
         if kid:
             m, s = kernel_inception_distance(
-                jnp.asarray(f1["2048"]),
-                jnp.asarray(f2["2048"]),
+                jnp.asarray(f1[feat]),
+                jnp.asarray(f2[feat]),
                 jax.random.PRNGKey(0),
                 subset_size=kid_subset_size,
             )

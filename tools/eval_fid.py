@@ -42,7 +42,11 @@ def main():
     from adm_tpu.core.diffusion import DDPM
     from adm_tpu.data import ShapesDataset
     from adm_tpu.metrics.fid import compute_fid
-    from adm_tpu.metrics.metric import extract_features, load_inception_params
+    from adm_tpu.metrics.metric import (
+        extract_features,
+        fid_feature_key,
+        load_inception_params,
+    )
     from watchdog import newest_milestone
 
     out = Path("results/long_run")
@@ -61,6 +65,7 @@ def main():
     )
     weights = os.environ.get("ADM_TPU_INCEPTION_WEIGHTS", "random")
     inc = load_inception_params(weights)
+    feat = fid_feature_key(weights)  # '192' in proxy mode (collapse, see metric.py)
 
     sampler = jax.jit(
         lambda p, k: model.sample(p, k, batch_size=bs, unnormalize=True)
@@ -68,12 +73,12 @@ def main():
     # warm both programs (compile excluded from the timings)
     warm = np.asarray(sampler(state.ema_params, jax.random.PRNGKey(0)))
     _ = extract_features(
-        (warm * 255).clip(0, 255).astype(np.uint8), inc, ("2048",), bs
+        (warm * 255).clip(0, 255).astype(np.uint8), inc, (feat,), bs
     )
 
     # ---- reference (train-set) features, protocol size, cached ----------
     data = ShapesDataset(image_size=(res, res))
-    ref_cache = out / f"ref_feats_{n_samples}.npy"
+    ref_cache = out / f"ref_feats_{feat}_{n_samples}.npy"
     t0 = time.time()
     if ref_cache.exists():
         ref_feats = np.load(ref_cache)
@@ -84,7 +89,7 @@ def main():
                     np.uint8
                 )
 
-        ref_feats = extract_features(ref_stream(), inc, ("2048",), bs)["2048"]
+        ref_feats = extract_features(ref_stream(), inc, (feat,), bs)[feat]
         np.save(ref_cache, ref_feats)
     t_ref = time.time() - t0
 
@@ -99,7 +104,7 @@ def main():
         t_sample += time.time() - t0
         t0 = time.time()
         u8 = (imgs * 255).clip(0, 255).astype(np.uint8)
-        feats.append(extract_features(u8, inc, ("2048",), bs)["2048"])
+        feats.append(extract_features(u8, inc, (feat,), bs)[feat])
         t_feat += time.time() - t0
         if i % 20 == 0:
             print(f"[eval_fid] batch {i}/{n_batches} "

@@ -47,20 +47,20 @@ PROXY_FID_N = int(os.environ.get("ADM_TPU_PROXY_FID_N", "2048"))
 SAMPLE_BS = 128
 
 
-def _ref_features(out: Path, data, inc_params):
+def _ref_features(out: Path, data, inc_params, feat: str):
     """Fixed reference-set inception features, computed once and cached."""
     from adm_tpu.metrics.metric import extract_features
 
-    cache = out / "ref_feats.npy"
+    cache = out / f"ref_feats_{feat}.npy"
     if cache.exists():
         return np.load(cache)
     imgs = np.stack([
         ((data[i]["image"] + 1) * 127.5).clip(0, 255).astype(np.uint8)
         for i in range(PROXY_FID_N)
     ])
-    feats = extract_features(imgs, inc_params, ("2048",), batch_size=SAMPLE_BS)
-    np.save(cache, feats["2048"])
-    return feats["2048"]
+    feats = extract_features(imgs, inc_params, (feat,), batch_size=SAMPLE_BS)
+    np.save(cache, feats[feat])
+    return feats[feat]
 
 
 def main():
@@ -96,15 +96,18 @@ def main():
             from adm_tpu.metrics.fid import compute_fid
             from adm_tpu.metrics.metric import (
                 extract_features,
+                fid_feature_key,
                 load_inception_params,
             )
 
             if "inc" not in proxy_state:
-                proxy_state["inc"] = load_inception_params(
-                    os.environ.get("ADM_TPU_INCEPTION_WEIGHTS", "random")
-                )
+                wp = os.environ.get("ADM_TPU_INCEPTION_WEIGHTS", "random")
+                proxy_state["inc"] = load_inception_params(wp)
+                # '192' in proxy mode: deep random features collapse
+                # (metric.fid_feature_key)
+                proxy_state["feat"] = fid_feature_key(wp)
                 proxy_state["ref"] = _ref_features(
-                    out, data, proxy_state["inc"]
+                    out, data, proxy_state["inc"], proxy_state["feat"]
                 )
                 proxy_state["sampler"] = jax.jit(
                     lambda p, k: model.sample(
@@ -121,12 +124,13 @@ def main():
                 )
                 # keep the watchdog heartbeat fresh through the eval loop
                 trainer._heartbeat(int(trainer.state.step))
+            feat = proxy_state["feat"]
             feats = extract_features(
-                np.concatenate(frames), proxy_state["inc"], ("2048",),
+                np.concatenate(frames), proxy_state["inc"], (feat,),
                 batch_size=SAMPLE_BS,
             )
             return float(compute_fid(
-                jnp.asarray(feats["2048"]), jnp.asarray(proxy_state["ref"])
+                jnp.asarray(feats[feat]), jnp.asarray(proxy_state["ref"])
             ))
         except Exception as e:  # noqa: BLE001 — eval must not kill training
             print(f"[long_run] proxy-FID failed: {e}", flush=True)
@@ -165,10 +169,14 @@ def main():
         for d in dirs[:-2]:
             shutil.rmtree(d, ignore_errors=True)
 
+    # FIXED schedule horizon, independent of this segment's `steps` target:
+    # otherwise every resumed extension re-stretches the poly decay and the
+    # lr jumps back up mid-run (observed at the 24k->48k resume)
+    sched_total = int(os.environ.get("ADM_TPU_SCHED_TOTAL", "100000"))
     trainer = Trainer(
         model,
         it,
-        train_num_steps=steps,
+        train_num_steps=sched_total,
         train_lr=1e-4,
         warmup_steps=500,
         gradient_accumulate_every=1,
@@ -200,7 +208,7 @@ def main():
     t0 = time.time()
     if not resume:
         sample_fn(trainer, 0)  # pre-training grid: pure noise baseline
-    trainer.train(sample_fn=sample_fn)
+    trainer.train(num_steps=steps, sample_fn=sample_fn)
     dt = time.time() - t0
 
     rows = [
