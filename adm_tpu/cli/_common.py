@@ -75,7 +75,10 @@ def restore_train_state(model, ckpt_path=None, *, required: bool = False):
 
     params = jax.jit(model.init)(jax.random.PRNGKey(0))
     optimizer, _ = make_optimizer(1e-4, total_steps=1)
-    state = TrainState.create(params, optimizer.init(params))
+    state = TrainState.create(
+        params, optimizer.init(params),
+        scale_factor=float(getattr(model, "scale_factor", 1.0)),
+    )
     if ckpt_path and os.path.exists(str(ckpt_path)):
         with ocp.StandardCheckpointer() as ckptr:
             state = ckptr.restore(os.path.abspath(str(ckpt_path)), state)
@@ -85,6 +88,23 @@ def restore_train_state(model, ckpt_path=None, *, required: bool = False):
     else:
         log.warning("no checkpoint restored (ckpt_path=%s)", ckpt_path)
     return state
+
+
+def with_restored_scale(model, state):
+    """Rebuild an LDM over the checkpoint's calibrated scale_factor.
+
+    Sampling/decoding divides by model.scale_factor (core/diffusion.py), so
+    every restore_train_state caller must adopt the persisted value — the
+    torch reference gets this for free via the state_dict buffer
+    (train_uncond_ldm.py:206-207)."""
+    sf = float(state.scale_factor)
+    if (
+        getattr(model, "scale_by_std", False)
+        and sf != float(getattr(model, "scale_factor", 1.0))
+    ):
+        model = dataclasses.replace(model, scale_factor=sf)
+        log.info("### using checkpoint scale_factor=%.6f", sf)
+    return model
 
 
 def _pretrained_transform(model_cfg):

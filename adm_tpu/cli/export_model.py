@@ -22,7 +22,11 @@ from pathlib import Path
 import jax
 import numpy as np
 
-from adm_tpu.cli._common import load_first_stage, restore_train_state
+from adm_tpu.cli._common import (
+    load_first_stage,
+    restore_train_state,
+    with_restored_scale,
+)
 from adm_tpu.serve import export_sampler
 from adm_tpu.utils.config import build_model, load_conf
 
@@ -63,6 +67,7 @@ def main(argv=None):
     if not ckpt:
         log.warning("no checkpoint given — exporting with INITIAL weights")
     state = restore_train_state(model, ckpt)
+    model = with_restored_scale(model, state)
     weights = state.ema_params if args.use_ema else state.params
 
     data = export_sampler(

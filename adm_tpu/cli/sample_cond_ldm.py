@@ -48,9 +48,10 @@ def main():
     model = build_model(model_cfg, first_stage=fs)
 
     # restore weights (shared helper: jitted init + orbax restore)
-    from adm_tpu.cli._common import restore_train_state
+    from adm_tpu.cli._common import restore_train_state, with_restored_scale
 
     state = restore_train_state(model, sampler_cfg.get("ckpt_path"))
+    model = with_restored_scale(model, state)
     weights = state.ema_params if sampler_cfg.get("use_ema", True) else state.params
 
     dataset = build_dataset(data_cfg)

@@ -49,7 +49,7 @@ def main():
     save_folder.mkdir(parents=True, exist_ok=True)
 
     # restore state (shared helper: jitted init + orbax restore)
-    from adm_tpu.cli._common import restore_train_state
+    from adm_tpu.cli._common import restore_train_state, with_restored_scale
 
     ckpt_path = sampler_cfg.get("ckpt_path")
     if args.milestone is not None:
@@ -57,6 +57,7 @@ def main():
             Path(cfg["trainer"]["results_folder"]) / f"model-{args.milestone}"
         )
     state = restore_train_state(model, ckpt_path, required=True)
+    model = with_restored_scale(model, state)
     weights = state.ema_params if use_ema else state.params
 
     if args.rk45:

@@ -624,6 +624,15 @@ def free_form_mask(s: int, rng: np.random.RandomState,
     hole fraction always lands strictly inside hole_range (so an untouched
     all-ones mask is rejected at the default (0, 1) range too)."""
     coef = min(hole_range[0] + hole_range[1], 1.0)
+    # np.random.randint(0) raises, and an all-zero draw budget would make
+    # the rejection loop spin forever on an untouched mask. The reference
+    # only ever calls this with the default range (coef=1); hole_range is a
+    # public knob here, so for narrow ranges (coef < 0.5) each category
+    # falls back to exactly one attempt. Draw sequence is unchanged at the
+    # reference's coef=1.
+    def n_draws(budget: int) -> int:
+        return rng.randint(budget) if budget > 1 else 1
+
     while True:
         mask = np.ones((s, s), np.uint8)
 
@@ -634,11 +643,13 @@ def free_form_mask(s: int, rng: np.random.RandomState,
             y = rng.randint(-hh, s - h + hh)
             mask[max(y, 0): min(y + h, s), max(x, 0): min(x + w, s)] = 0
 
-        for _ in range(rng.randint(int(4 * coef))):
+        for _ in range(n_draws(int(4 * coef))):
             stamp(s // 2)
-        for _ in range(rng.randint(int(2 * coef))):
+        for _ in range(n_draws(int(2 * coef))):
             stamp(s)
-        mask = np.logical_and(mask, 1 - _brush_strokes(s, int(8 * coef), rng))
+        mask = np.logical_and(
+            mask, 1 - _brush_strokes(s, max(int(8 * coef), 2), rng)
+        )
         hole = 1.0 - np.mean(mask)
         if hole_range[0] < hole < hole_range[1]:
             return mask.astype(np.float32)

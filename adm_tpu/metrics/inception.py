@@ -186,6 +186,13 @@ class FIDInceptionV3(nn.Module):
     def __call__(self, x_uint8: Array) -> Dict[str, Array]:
         feats = {}
         want = set(self.features_list)
+
+        def done():
+            # early exit once every requested tap is collected: proxy-FID
+            # runs on the shallow '192' tap only, and the remaining ~80
+            # layers are ~10x the FLOPs for nothing
+            return want.issubset(feats)
+
         x = x_uint8.astype(jnp.float32)
         x = tf1_bilinear_resize(x, (299, 299))
         x = (x - 128.0) / 128.0
@@ -195,11 +202,15 @@ class FIDInceptionV3(nn.Module):
         x = max_pool(x, 3, 2)
         if "64" in want:
             feats["64"] = jnp.mean(x, axis=(1, 2))
+        if done():
+            return feats
         x = BasicConv2d(80, (1, 1), name="Conv2d_3b_1x1")(x)
         x = BasicConv2d(192, (3, 3), name="Conv2d_4a_3x3")(x)
         x = max_pool(x, 3, 2)
         if "192" in want:
             feats["192"] = jnp.mean(x, axis=(1, 2))
+        if done():
+            return feats
         x = InceptionA(32, name="Mixed_5b")(x)
         x = InceptionA(64, name="Mixed_5c")(x)
         x = InceptionA(64, name="Mixed_5d")(x)
@@ -210,6 +221,8 @@ class FIDInceptionV3(nn.Module):
         x = InceptionC(192, name="Mixed_6e")(x)
         if "768" in want:
             feats["768"] = jnp.mean(x, axis=(1, 2))
+        if done():
+            return feats
         x = InceptionD(name="Mixed_7a")(x)
         x = InceptionE("avg", name="Mixed_7b")(x)
         x = InceptionE("max", name="Mixed_7c")(x)

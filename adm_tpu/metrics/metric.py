@@ -41,6 +41,13 @@ def _iter_images(src: Source, image_size=None):
         yield from src
 
 
+def resolve_weights_path(weights_path: Optional[str] = None) -> Optional[str]:
+    """Single source of the weights-resolution rule (arg, else env)."""
+    if weights_path is None:
+        return os.environ.get("ADM_TPU_INCEPTION_WEIGHTS")
+    return weights_path
+
+
 def fid_feature_key(weights_path: Optional[str]) -> str:
     """Feature layer for Fréchet/kernel distances. Real weights use the
     standard '2048' pool. With weights_path == 'random' (proxy mode), deep
@@ -48,15 +55,14 @@ def fid_feature_key(weights_path: Optional[str]) -> str:
     FID ~= 0 between any two image sets) while the shallow '192' features
     discriminate strongly (FID 0.002 within-distribution vs 0.80 against
     noise, 363x separation) — so the proxy scores on '192'."""
-    return "192" if weights_path == "random" else "2048"
+    return "192" if resolve_weights_path(weights_path) == "random" else "2048"
 
 
 def load_inception_params(weights_path: Optional[str] = None):
     """Load converted torch-fidelity weights; see
     adm_tpu.metrics.inception.convert_inception for the one-time conversion
     (`weights-inception-2015-12-05` release of torch-fidelity)."""
-    if weights_path is None:
-        weights_path = os.environ.get("ADM_TPU_INCEPTION_WEIGHTS")
+    weights_path = resolve_weights_path(weights_path)
     if weights_path == "random":
         # Fixed random-init InceptionV3: random conv features are still a
         # projection of image statistics, so the Fréchet distance over them
@@ -68,7 +74,12 @@ def load_inception_params(weights_path: Optional[str] = None):
             "using FIXED RANDOM-INIT InceptionV3 features (proxy-FID trend "
             "metric on the '192' layer, not a real FID)"
         )
-        net = FIDInceptionV3(features_list=("192",))
+        # init over EVERY tap so the param tree also carries the (zero) fc
+        # head — calculate_metrics(isc=True) in proxy mode must not crash
+        # on a missing fc_kernel
+        net = FIDInceptionV3(
+            features_list=("64", "192", "768", "2048", "logits_unbiased")
+        )
         return jax.jit(net.init)(
             jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.uint8)
         )
@@ -150,8 +161,7 @@ def calculate_metrics(
     image_size=None,
     kid_subset_size: int = 1000,
 ) -> dict:
-    if weights_path is None:
-        weights_path = os.environ.get("ADM_TPU_INCEPTION_WEIGHTS")
+    weights_path = resolve_weights_path(weights_path)
     params = load_inception_params(weights_path)
     feat = fid_feature_key(weights_path)
     features = []

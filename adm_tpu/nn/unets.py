@@ -80,7 +80,17 @@ class DhariwalUNet(nn.Module):
     use_fused_block: bool = False
     use_hw_dropout: bool = True
     remat: bool = False
+    # NON-PARITY perf knob (BASELINE.md round-2 lever (b)): round each
+    # level's width up to a multiple of this, so convs run lane-aligned on
+    # the 128-lane MXU (192 -> 256; 384 stays). Changes the parameter count
+    # — a config choice, not a drop-in reparameterization. 0 = exact
+    # reference widths.
+    channel_round: int = 0
     dtype: jnp.dtype = jnp.float32
+
+    def _width(self, c: int) -> int:
+        r = self.channel_round
+        return -(-c // r) * r if r else c
 
     @nn.compact
     def __call__(
@@ -158,7 +168,7 @@ class DhariwalUNet(nn.Module):
         cout = 0
         for level, mult in enumerate(self.channel_mult):
             res = self.img_resolution >> level
-            cout = self.model_channels * mult
+            cout = self._width(self.model_channels * mult)
             if level == 0:
                 x = Conv2d(
                     cout, kernel=3, dtype=self.dtype, name=f"enc_{res}_conv", **init
@@ -209,7 +219,7 @@ class DhariwalUNet(nn.Module):
                 for idx in range(self.num_blocks + 1):
                     h = jnp.concatenate([h, dec_skips.pop()], axis=-1)
                     h = Block(
-                        self.model_channels * mult,
+                        self._width(self.model_channels * mult),
                         attention=(res in self.attn_resolutions),
                         name=f"dec{suffix}_{res}_block{idx}",
                         **block_kw,

@@ -75,6 +75,7 @@ _MODEL_KWARG_KEYS = (
     "use_fused_block",
     "use_hw_dropout",
     "remat",
+    "channel_round",
 )
 _SONG_KWARG_KEYS = (
     "embedding_type",

@@ -155,3 +155,28 @@ def test_inpaint_family_mask_compositing():
     np.testing.assert_allclose(
         np.asarray(out[0])[kept], expect[kept], atol=1e-5
     )
+
+
+def test_channel_round_widths():
+    """channel_round (non-parity lane-alignment knob, BASELINE.md lever (b))
+    rounds level widths up to the multiple while keeping output shapes."""
+    from adm_tpu.nn.unets import EDMPrecond
+
+    def build(cr):
+        return EDMPrecond(
+            img_resolution=16, img_channels=3, sigma_data=1.0,
+            variant="const", n_decoders=2,
+            model_kwargs=dict(model_channels=96, channel_mult=[1, 2],
+                              num_blocks=1, attn_resolutions=[8],
+                              dropout=0.0, channel_round=cr),
+        )
+
+    x = jnp.zeros((2, 16, 16, 3))
+    t = jnp.full((2,), 0.5)
+    for cr, want_l0 in ((0, 96), (128, 128)):
+        net = build(cr)
+        params = net.init(jax.random.PRNGKey(0), x, t)
+        kern = params["params"]["model"]["enc_16_conv"]["kernel"]
+        assert kern.shape[-1] == want_l0
+        outs = net.apply(params, x, t)
+        assert all(o.shape == (2, 16, 16, 3) for o in outs)

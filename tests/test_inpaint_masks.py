@@ -128,3 +128,15 @@ def test_inpaint_dataset_free_form(tmp_path):
     assert 0.0 < 1.0 - m.mean() < 1.0
     # cond is the masked image
     np.testing.assert_allclose(item["cond"], item["image"] * item["ori_mask"])
+
+
+@pytest.mark.parametrize("hole_range", [(0.1, 0.3), (0.0, 0.05), (0.3, 0.7)])
+def test_narrow_hole_ranges_terminate(hole_range):
+    """hole_range is a public knob (the reference only uses (0,1)): narrow
+    ranges must generate (guaranteed-attempt fallback) instead of crashing
+    on randint(0) or spinning on untouched masks."""
+    rng = np.random.RandomState(3)
+    for _ in range(5):
+        m = free_form_mask(64, rng, hole_range)
+        hole = 1.0 - m.mean()
+        assert hole_range[0] < hole < hole_range[1]

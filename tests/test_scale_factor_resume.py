@@ -126,3 +126,19 @@ def test_aux_only_decode_is_no_grad(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(g_aux),
                     jax.tree_util.tree_leaves(g_base)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_with_restored_scale_rebuilds_model(tmp_path):
+    """Standalone sample/export CLIs must adopt the checkpoint's calibrated
+    factor (code-review r3 finding #1)."""
+    from adm_tpu.cli._common import restore_train_state, with_restored_scale
+
+    tr = _trainer(tmp_path, scale_factor=2.5)
+    tr.train(num_steps=2)
+
+    model, _ = _make_model(scale_factor=1.0)  # YAML value, stale
+    state = restore_train_state(model, str(tmp_path / "model-1"),
+                                required=True)
+    assert float(state.scale_factor) == 2.5
+    model = with_restored_scale(model, state)
+    assert float(model.scale_factor) == 2.5

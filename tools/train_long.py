@@ -51,7 +51,7 @@ def _ref_features(out: Path, data, inc_params, feat: str):
     """Fixed reference-set inception features, computed once and cached."""
     from adm_tpu.metrics.metric import extract_features
 
-    cache = out / f"ref_feats_{feat}.npy"
+    cache = out / f"ref_feats_{feat}_{PROXY_FID_N}.npy"
     if cache.exists():
         return np.load(cache)
     imgs = np.stack([
@@ -122,8 +122,6 @@ def main():
                 frames.append(
                     (np.asarray(imgs) * 255).clip(0, 255).astype(np.uint8)
                 )
-                # keep the watchdog heartbeat fresh through the eval loop
-                trainer._heartbeat(int(trainer.state.step))
             feat = proxy_state["feat"]
             feats = extract_features(
                 np.concatenate(frames), proxy_state["inc"], (feat,),
@@ -146,7 +144,7 @@ def main():
         path = str(out / f"samples-{milestone}.png")
         save_image_grid(np.clip(imgs, 0, 1), path, nrow=4)
         print(f"[long_run] wrote {path}", flush=True)
-        if isinstance(milestone, int):
+        if isinstance(milestone, int) and milestone > 0:
             fid = _proxy_fid(trainer)
             if fid is not None:
                 trend.append({
@@ -189,15 +187,16 @@ def main():
     )
     # actual restored step (ADVICE r2: don't hardcode milestone spacing)
     start_step = int(trainer.state.step)
-    trainer._heartbeat(start_step)
     # warm-up eval at the current state: compiles the sampler + inception
     # programs UP FRONT (inside the watchdog's launch grace window, so
     # in-train milestones never block the heartbeat on a cold compile) and
-    # records a baseline trend point for this launch
+    # records a baseline trend point for this launch. NO heartbeat is
+    # written until warmup completes: the first heartbeat of a launch ends
+    # the watchdog's grace window, and a cold compile after that would be
+    # judged by the (shorter) steady timeout -> kill-loop on a healthy run.
     _ = np.asarray(
         trainer._sample(trainer.state.ema_params, jax.random.PRNGKey(42))
     )  # warm the b16 milestone-grid sampler inside the grace window too
-    trainer._heartbeat(start_step)
     fid0 = _proxy_fid(trainer)
     if fid0 is not None:
         trend.append({"milestone": f"launch@{start_step}",

@@ -25,7 +25,7 @@ import subprocess
 import sys
 import time
 from pathlib import Path
-from typing import Callable, List, Optional
+from typing import Callable, List
 
 
 def newest_milestone(results_dir: Path) -> int:
@@ -39,20 +39,13 @@ def newest_milestone(results_dir: Path) -> int:
     return best
 
 
-def _heartbeat_age(path: Path) -> Optional[float]:
-    try:
-        return time.time() - path.stat().st_mtime
-    except OSError:
-        return None
-
-
 def run_watched(
     make_cmd: Callable[[int], List[str]],
     results_dir: Path,
     *,
     timeout: float = 900.0,
     poll: float = 10.0,
-    grace: float = 1200.0,
+    grace: float = 1800.0,
     max_restarts: int = 20,
     log=print,
 ) -> int:
@@ -76,10 +69,17 @@ def run_watched(
             rc = child.poll()
             if rc is not None:
                 break
-            age = _heartbeat_age(heartbeat)
-            fresh = age is not None and heartbeat.stat().st_mtime >= launch_t
+            # stat ONCE — the file can vanish between two calls (results
+            # dir cleanup), and the supervisor must never die of that
+            try:
+                mtime = heartbeat.stat().st_mtime
+            except OSError:
+                mtime = None
+            fresh = mtime is not None and mtime >= launch_t
             limit = timeout if fresh else grace
-            ref_age = age if fresh else time.time() - launch_t
+            ref_age = (
+                time.time() - mtime if fresh else time.time() - launch_t
+            )
             if ref_age > limit:
                 log(f"[watchdog] STALL: heartbeat age {ref_age:.0f}s > "
                     f"{limit:.0f}s — killing pid {child.pid}")
@@ -116,9 +116,10 @@ def main():
         return [sys.executable, str(here / "train_long.py"), str(steps),
                 str(resume)]
 
-    # grace 3600: backend init (~5 min) + cold compiles of the train step,
-    # samplers, and inception eval can stack to ~30+ min on the tunnel
-    rc = run_watched(make_cmd, results, timeout=timeout, grace=3600.0)
+    # grace 5400: backend init (~5 min) + cold compiles of the train step,
+    # samplers, and inception eval can stack past 30 min on the tunnel
+    # (measured: 31 min for the 26k resume with one fresh train-step compile)
+    rc = run_watched(make_cmd, results, timeout=timeout, grace=5400.0)
     summary = results / "summary.json"
     if summary.exists():
         print(json.dumps(json.loads(summary.read_text())))
