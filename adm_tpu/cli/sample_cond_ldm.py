@@ -80,11 +80,14 @@ def main():
     psnrs = []
     n_batches = args.num_batches or int(sampler_cfg.get("num_batches", 10**9))
     written = 0
+    import time as _time
+
     for idx in range(n_batches):
         try:
             batch = next(data_iter)
         except StopIteration:
             break
+        t_batch = _time.time()
         cond = jnp.asarray(batch["cond"])
         pred = slide_sample(
             sample_crop,
@@ -92,7 +95,11 @@ def main():
             crop,
             stride,
             jax.random.PRNGKey(idx),
-            out_channels=model.channels if not latent else 3,
+            # latent: the DECODED channel count (1 for DUTS saliency masks,
+            # ddconfig.out_ch), not the latent channels
+            out_channels=(
+                fs.module.ddconfig["out_ch"] if latent else model.channels
+            ),
             flip_test=flip_test,
         )
         if "image" in batch:
@@ -101,9 +108,11 @@ def main():
         for j in range(pred.shape[0]):
             save_image(pred[j], str(save_folder / f"{written + j:08d}.png"))
         written += pred.shape[0]
-        if idx % 10 == 0:
-            log.info("batch %d, psnr so far: %.3f", idx,
-                     float(np.mean(psnrs)) if psnrs else float("nan"))
+        # per-batch wall time: batch 0 carries the compile, later batches
+        # are the steady rate (np.asarray in save_image fences the device)
+        log.info("batch %d done in %.2fs, psnr so far: %.3f", idx,
+                 _time.time() - t_batch,
+                 float(np.mean(psnrs)) if psnrs else float("nan"))
     if psnrs:
         log.info("FINAL PSNR over %d batches: %.4f", len(psnrs), float(np.mean(psnrs)))
     log.info("wrote %d images to %s", written, save_folder)

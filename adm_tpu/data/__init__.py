@@ -1,5 +1,5 @@
 from adm_tpu.data.cifar10 import CIFAR10
-from adm_tpu.data.synthetic import ShapesDataset, SyntheticImages
+from adm_tpu.data.synthetic import ShapesDataset, ShapesPairedDataset, SyntheticImages
 from adm_tpu.data.loader import batch_iterator
 from adm_tpu.data.image_folder import (
     ImageDataset,
@@ -25,6 +25,7 @@ __all__ = [
     "CIFAR10",
     "SyntheticImages",
     "ShapesDataset",
+    "ShapesPairedDataset",
     "batch_iterator",
     "ImageDataset",
     "ImageNetDataset",

@@ -56,19 +56,53 @@ class ShapesDataset:
         return self.length
 
     def __getitem__(self, index: int):
-        h, w = self.image_size
-        rng = np.random.RandomState((self.seed * 1_000_003 + index) % 2**31)
-        img = np.ones((h, w, 3), np.float32) * rng.uniform(-0.9, -0.3)
-        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-        for _ in range(rng.randint(1, 4)):
-            color = rng.uniform(-1, 1, 3).astype(np.float32)
-            cx, cy = rng.uniform(4, w - 4), rng.uniform(4, h - 4)
-            r = rng.uniform(3, min(h, w) / 3)
-            if rng.rand() < 0.5:
-                d = np.sqrt((xx - cx) ** 2 + (yy - cy) ** 2)
-                mask = np.clip(r - d + 0.5, 0, 1)  # anti-aliased edge
-            else:
-                d = np.maximum(np.abs(xx - cx), np.abs(yy - cy))
-                mask = np.clip(r - d + 0.5, 0, 1)
-            img = img * (1 - mask[..., None]) + color * mask[..., None]
-        return {"image": np.clip(img, -1, 1)}
+        img, _ = _shapes_image(self.image_size, self.seed, index)
+        return {"image": img}
+
+
+def _shapes_image(image_size, seed: int, index: int):
+    """One procedural sample: (3ch image in [-1,1], foreground mask in [0,1])."""
+    h, w = image_size
+    rng = np.random.RandomState((seed * 1_000_003 + index) % 2**31)
+    img = np.ones((h, w, 3), np.float32) * rng.uniform(-0.9, -0.3)
+    fg = np.zeros((h, w), np.float32)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    for _ in range(rng.randint(1, 4)):
+        color = rng.uniform(-1, 1, 3).astype(np.float32)
+        cx, cy = rng.uniform(4, w - 4), rng.uniform(4, h - 4)
+        r = rng.uniform(3, min(h, w) / 3)
+        if rng.rand() < 0.5:
+            d = np.sqrt((xx - cx) ** 2 + (yy - cy) ** 2)
+            mask = np.clip(r - d + 0.5, 0, 1)  # anti-aliased edge
+        else:
+            d = np.maximum(np.abs(xx - cx), np.abs(yy - cy))
+            mask = np.clip(r - d + 0.5, 0, 1)
+        img = img * (1 - mask[..., None]) + color * mask[..., None]
+        fg = np.maximum(fg, mask)
+    return np.clip(img, -1, 1), fg
+
+
+class ShapesPairedDataset:
+    """Procedural conditional pair: cond = 3ch shapes image, image = target.
+
+    task='saliency' targets the 1-channel foreground mask (a DUTS-shaped
+    contract: {'image': (H,W,1) in [-1,1], 'cond': (H,W,3)}, data/paired.py
+    DUTSDataset); task='identity' targets the image itself (SR-style smoke).
+    Used by the on-chip conditional exercises — no real paired data is
+    mounted in this environment."""
+
+    def __init__(self, image_size=(320, 320), length: int = 100_000,
+                 seed: int = 0, task: str = "saliency", **kwargs):
+        self.image_size = tuple(image_size)
+        self.length = length
+        self.seed = seed
+        self.task = task
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, index: int):
+        img, fg = _shapes_image(self.image_size, self.seed, index)
+        if self.task == "identity":
+            return {"image": img, "cond": img.copy()}
+        return {"image": (fg * 2 - 1)[..., None], "cond": img}
