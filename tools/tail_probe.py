@@ -64,8 +64,9 @@ def main():
 
     def put(row):
         rows.append(row)
-        with open(Path(__file__).resolve().parents[1] / "PERF_r3.jsonl",
-                  "a") as f:
+        out = ("/tmp/tail_probe_tiny.jsonl" if TINY else
+               Path(__file__).resolve().parents[1] / "PERF_r3.jsonl")
+        with open(out, "a") as f:
             f.write(json.dumps(row) + "\n")
         print(json.dumps(row), flush=True)
 
