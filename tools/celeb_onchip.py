@@ -154,6 +154,9 @@ def phase_ldm(results: dict):
     mcfg["first_stage"]["ckpt_path"] = str(
         (OUT / "vae" / "model-1").absolute()
     )
+    # batch 48 at 256x256 needs 17.6G > 15.75G HBM without rematerialization
+    # (measured OOM); per-block remat is the designed fit knob (nn/unets.py)
+    mcfg["unet"]["remat"] = True
     fs, fs_params = load_first_stage(cfg)
     model = build_model(mcfg, first_stage=fs)
     bs = int(dcfg["batch_size"])  # 48, per reference config

@@ -80,13 +80,32 @@ def main():
         put({"experiment": "tail", "variant": name,
              "ms_per_step": round((time.perf_counter() - t0) / STEPS * 1e3, 1)})
 
+    # fwd/grad variants FIRST — the full step below donates the state,
+    # invalidating state.params
+    def loss_fn(p, b, k):
+        loss, _aux = model.training_step(p, b, k, train=True)
+        return loss
+
+    fwd_fn = jax.jit(
+        lambda p, b, k: loss_fn(p, b, k),
+        in_shardings=(rep, dat, rep), out_shardings=rep,
+    )
+    timed("fwd", fwd_fn, state.params, batch, key)
+
+    grad_fn = jax.jit(
+        lambda p, b, k: jax.grad(loss_fn)(p, b, k),
+        in_shardings=(rep, dat, rep), out_shardings=rep,
+    )
+    timed("grad", grad_fn, state.params, batch, key)
+
     # full production step (state threads -> sequential chain)
     step_fn = jax.jit(
         make_train_step(model, optimizer, EmaConfig(), grad_accum=1),
         in_shardings=(rep, dat, rep), out_shardings=(rep, rep),
+        donate_argnums=(0,),  # without donation the step double-buffers the
+        # 4-copy fp32 state and OOMs the 15.75G chip
     )
-    st = state
-    st, m = step_fn(st, batch, key)
+    st, m = step_fn(state, batch, key)
     _ = float(m["loss"])
     t0 = time.perf_counter()
     for _i in range(STEPS):
@@ -95,27 +114,9 @@ def main():
     put({"experiment": "tail", "variant": "full",
          "ms_per_step": round((time.perf_counter() - t0) / STEPS * 1e3, 1)})
 
-    # gradient only
-    def loss_fn(p, b, k):
-        loss, _aux = model.training_step(p, b, k, train=True)
-        return loss
-
-    grad_fn = jax.jit(
-        lambda p, b, k: jax.grad(loss_fn)(p, b, k),
-        in_shardings=(rep, dat, rep), out_shardings=rep,
-    )
-    timed("grad", grad_fn, state.params, batch, key)
-
-    # forward only
-    fwd_fn = jax.jit(
-        lambda p, b, k: loss_fn(p, b, k),
-        in_shardings=(rep, dat, rep), out_shardings=rep,
-    )
-    timed("fwd", fwd_fn, state.params, batch, key)
-
-    full = rows[0]["ms_per_step"]
+    fwd = rows[0]["ms_per_step"]
     grad = rows[1]["ms_per_step"]
-    fwd = rows[2]["ms_per_step"]
+    full = rows[2]["ms_per_step"]
     put({"experiment": "tail_verdict",
          "fwd_ms": fwd, "bwd_ms": round(grad - fwd, 1),
          "opt_ema_clip_ms": round(full - grad, 1),
