@@ -52,10 +52,8 @@ def main():
                  channels=3, weighting_loss=True, sampling_timesteps=10)
     mesh = make_mesh()
     params = model.init(jax.random.PRNGKey(0))
-    optimizer, _ = make_optimizer(1e-4, total_steps=800_000)
-    state = TrainState.create(params, optimizer.init(params))
     rep, dat = replicated_sharding(mesh), data_sharding(mesh)
-    state = jax.device_put(state, rep)
+    params = jax.device_put(params, rep)
     batch = shard_batch(
         mesh, {"image": jnp.zeros((BATCH, res, res, 3), jnp.float32)}
     )
@@ -71,12 +69,17 @@ def main():
         print(json.dumps(row), flush=True)
 
     def timed(name, fn, *args):
-        out = fn(*args)
-        _ = float(jax.tree_util.tree_leaves(out)[0].ravel()[0])  # fence
+        def fence(o):
+            return float(jax.tree_util.tree_leaves(o)[0].ravel()[0])
+
+        fence(fn(*args))  # compile + warm
+        # fence EVERY iteration: unlike the state-threaded full step, these
+        # calls are independent — unfenced they all dispatch at once and
+        # 20 in-flight 860MB grad trees OOM the chip. The ~2 ms dispatch
+        # floor of the tunnel is <2% of these step times.
         t0 = time.perf_counter()
         for _i in range(STEPS):
-            out = fn(*args)
-        _ = float(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+            fence(fn(*args))
         put({"experiment": "tail", "variant": name,
              "ms_per_step": round((time.perf_counter() - t0) / STEPS * 1e3, 1)})
 
@@ -90,15 +93,20 @@ def main():
         lambda p, b, k: loss_fn(p, b, k),
         in_shardings=(rep, dat, rep), out_shardings=rep,
     )
-    timed("fwd", fwd_fn, state.params, batch, key)
+    timed("fwd", fwd_fn, params, batch, key)
 
     grad_fn = jax.jit(
         lambda p, b, k: jax.grad(loss_fn)(p, b, k),
         in_shardings=(rep, dat, rep), out_shardings=rep,
     )
-    timed("grad", grad_fn, state.params, batch, key)
+    timed("grad", grad_fn, params, batch, key)
 
-    # full production step (state threads -> sequential chain)
+    # full production step (state threads -> sequential chain); the
+    # 4-copy fp32 TrainState is built only now, after the params-only probes
+    optimizer, _ = make_optimizer(1e-4, total_steps=800_000)
+    state = jax.device_put(
+        TrainState.create(params, optimizer.init(params)), rep
+    )
     step_fn = jax.jit(
         make_train_step(model, optimizer, EmaConfig(), grad_accum=1),
         in_shardings=(rep, dat, rep), out_shardings=(rep, rep),
