@@ -98,10 +98,20 @@ def with_restored_scale(model, state):
     torch reference gets this for free via the state_dict buffer
     (train_uncond_ldm.py:206-207)."""
     sf = float(state.scale_factor)
-    if (
-        getattr(model, "scale_by_std", False)
-        and sf != float(getattr(model, "scale_factor", 1.0))
-    ):
+    model_sf = float(getattr(model, "scale_factor", 1.0))
+    if getattr(model, "scale_by_std", False) and sf != model_sf:
+        if sf == 1.0:
+            # ADVICE r3: checkpoints from before scale_factor persistence
+            # always stored the TrainState.create default 1.0 — adopting it
+            # over a calibrated model value would silently break decode
+            # scaling for legacy scale_by_std checkpoints. 1.0 is exactly
+            # the unset default (a real calibration of 1.0 to float equality
+            # is measure-zero), so keep the model's value.
+            log.warning(
+                "### checkpoint scale_factor=1.0 looks legacy-unset; "
+                "keeping model scale_factor=%.6f", model_sf,
+            )
+            return model
         model = dataclasses.replace(model, scale_factor=sf)
         log.info("### using checkpoint scale_factor=%.6f", sf)
     return model

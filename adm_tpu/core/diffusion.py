@@ -151,11 +151,17 @@ class DDPM:
         *,
         train: bool = True,
         extras: Optional[dict] = None,
+        noise: Optional[Array] = None,
     ) -> Tuple[Array, Dict[str, Array]]:
-        """Weighted decoupled loss (reference ddm/ddm_const_2.py:199-258)."""
+        """Weighted decoupled loss (reference ddm/ddm_const_2.py:199-258).
+
+        noise: optional explicit start-dist draw (twin-training harness,
+        tools/twin_train.py, shares one noise stream with the reference
+        torch loop); defaults to an internal key-derived draw."""
         proc = self.process
         k_noise, k_drift, k_aug, k_drop = jax.random.split(key, 4)
-        noise = self.sample_noise(k_noise, x_start.shape)
+        if noise is None:
+            noise = self.sample_noise(k_noise, x_start.shape)
 
         augment_labels = None
         if self.augment_fn is not None and train:
@@ -230,13 +236,18 @@ class DDPM:
         return loss, loss_dict
 
     def training_step(
-        self, params: Any, batch: Dict[str, Array], key: Array, *, train: bool = True
+        self, params: Any, batch: Dict[str, Array], key: Array, *,
+        train: bool = True,
+        t: Optional[Array] = None, noise: Optional[Array] = None,
     ) -> Tuple[Array, Dict[str, Array]]:
         """t ~ U(eps, 1) then p_losses (reference ddm/ddm_const_2.py:157-170).
 
         The residual process diffuses x - ref where ref comes from the batch
         ('ref' key, falling back to the conditioning image — reference
-        ddm/ddm_res.py:839-843,744-753)."""
+        ddm/ddm_res.py:839-843,744-753).
+
+        t/noise: optional explicit draws (twin-training dynamics harness)
+        overriding the key-derived ones."""
         x = batch["image"]
         cond = batch.get("cond")
         if self.scale_input != 1.0:
@@ -247,11 +258,13 @@ class DDPM:
                 raise ValueError("residual process needs batch['ref'] or ['cond']")
             x = x - ref
         k_t, k_p = jax.random.split(key)
-        t = (
-            jax.random.uniform(k_t, (x.shape[0],), jnp.float32) * (1.0 - self.eps)
-            + self.eps
-        )
-        return self.p_losses(params, x, t, k_p, cond, train=train)
+        if t is None:
+            t = (
+                jax.random.uniform(k_t, (x.shape[0],), jnp.float32)
+                * (1.0 - self.eps)
+                + self.eps
+            )
+        return self.p_losses(params, x, t, k_p, cond, train=train, noise=noise)
 
     # ------------------------------------------------------------------
     def _model_fn(self, params: Any, cond: Optional[Array] = None):

@@ -622,7 +622,15 @@ def free_form_mask(s: int, rng: np.random.RandomState,
     random rectangles at two scales + brush strokes, with hole-ratio
     rejection sampling. Returns float32 (s, s), 1 = kept, 0 = hole; the
     hole fraction always lands strictly inside hole_range (so an untouched
-    all-ones mask is rejected at the default (0, 1) range too)."""
+    all-ones mask is rejected at the default (0, 1) range too).
+
+    Fidelity note (ADVICE r3): bit-exact to the reference at its only used
+    range, the default (0, 1) (coef=1). For NARROW public hole_range values
+    where a stamp category's budget floors to <=1 (coef < 0.5), each such
+    category runs exactly ONCE per attempt instead of the reference
+    np.random.randint(budget)'s 0..budget-1 draws — a deliberate deviation
+    (randint(0) raises; an all-zero budget spins the rejection loop
+    forever)."""
     coef = min(hole_range[0] + hole_range[1], 1.0)
     # np.random.randint(0) raises, and an all-zero draw budget would make
     # the rejection loop spin forever on an untouched mask. The reference

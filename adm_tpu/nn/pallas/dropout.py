@@ -43,6 +43,34 @@ Array = jax.Array
 # rows per grid program; lanes = channel dim (kept whole, padded by Mosaic)
 _ROW_BLOCK = 1024
 
+# layout sentry (ADVICE r3): the bwd pass REGENERATES the mask per shard, so
+# fwd and bwd must see the same GSPMD layout. The partition callback records
+# the spec seen per (global shape, rate); a second, DIFFERENT spec for the
+# same site signature means GSPMD resharded the cotangent and the regenerated
+# bwd mask would silently diverge — warn loudly (raise under
+# ADM_TPU_STRICT_DROPOUT=1) so the config is moved to nn.Dropout instead.
+_seen_layouts: dict = {}
+
+
+def _layout_sentry(shape, rate, spec) -> None:
+    import logging
+    import os
+
+    key = (tuple(shape), rate)
+    spec = tuple(spec) if spec is not None else None
+    prev = _seen_layouts.setdefault(key, spec)
+    if prev != spec:
+        msg = (
+            f"hw_dropout layout mismatch for shape {shape}: partition specs "
+            f"{prev} vs {spec} seen for the same site signature — if these "
+            "are the fwd/bwd of one dropout site, the regenerated backward "
+            "mask DIVERGES from the forward mask. Use nn.Dropout "
+            "(use_hw_dropout=False) for this config."
+        )
+        if os.environ.get("ADM_TPU_STRICT_DROPOUT"):
+            raise RuntimeError(msg)
+        logging.getLogger("adm_tpu").warning(msg)
+
 
 def _dropout_kernel(seed_ref, x_ref, o_ref, *, threshold: int, inv_keep: float):
     # distinct stream per program: fold the grid index into the seed
@@ -140,6 +168,7 @@ def _partitioned_apply(rate: float, ndim: int):
 
     def partition(mesh, arg_shapes, result_shape):
         sh = _vsh(mesh, arg_shapes[0].sharding)
+        _layout_sentry(arg_shapes[0].shape, rate, sh.spec)
         seed_sh = NamedSharding(mesh, P(None))
         return mesh, functools.partial(_kernel_apply, rate), sh, (sh, seed_sh)
 

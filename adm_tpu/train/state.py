@@ -60,13 +60,29 @@ def ema_decay(step: jnp.ndarray, cfg: EmaConfig) -> jnp.ndarray:
 def ema_update(state: TrainState, cfg: EmaConfig) -> Any:
     """Device-side EMA: folded into the train step; returns new ema_params.
 
-    Mirrors ddm/ema.py update(): only acts on steps where
-    step % update_every == 0 (otherwise keeps the old shadow), copies
-    through before the gate, lerps after.
+    Mirrors ddm/ema.py update() EXACTLY (twin-training-harness verified,
+    tools/twin_train.py): the reference calls EMA.update() AFTER the trainer
+    increments its step, and the EMA's internal counter counts PRIOR calls —
+    so at trainer step k the gating/decay step is k-1
+    (train_uncond_dpm.py:306-310 + ddm/ema.py:141-156). Only acts when
+    (k-1) % update_every == 0, copies through while (k-1) <= after, and —
+    because `initted` is only set OUTSIDE the warmup branch — the FIRST
+    post-warmup update also copies (ddm/ema.py:150-153) before lerping
+    params into params (a no-op lerp), i.e. it is a pure copy too.
     """
-    step = state.step
-    decay = ema_decay(step, cfg)
+    step = state.step - 1  # the reference EMA's internal counter at this call
+    # ... but update() increments the counter BEFORE update_moving_average
+    # computes get_current_decay() (ddm/ema.py:141-143,132), so the decay is
+    # evaluated at step+1 while the gates use step
+    decay = ema_decay(state.step, cfg)
     do_update = (step % cfg.update_every) == 0
+    # first update past the gate: the previous update step (step -
+    # update_every) was still inside the warmup window, so the reference's
+    # initted flag is unset and it copies instead of lerping
+    first_post = (step > cfg.update_after_step) & (
+        step - cfg.update_every <= cfg.update_after_step
+    )
+    decay = jnp.where(first_post, 0.0, decay)
     eff = jnp.where(do_update, decay, 1.0)
 
     def lerp(e, p):

@@ -59,6 +59,7 @@ def make_train_step(
     grad_accum: int = 1,
     with_fs: bool = False,
     donate: bool = True,
+    inject: bool = False,
 ):
     """Build the jitted (state, batch, rng[, fs_params]) -> (state, metrics)
     step.
@@ -73,7 +74,15 @@ def make_train_step(
     blow the axon remote-compile size limit (HTTP 413, CLAUDE.md).
     """
 
-    def ts(params, batch, key, scale_factor, fs_params):
+    def ts(params, batch, key, scale_factor, fs_params, tn=None):
+        if tn is not None:
+            # twin-training dynamics harness (tools/twin_train.py): explicit
+            # (t, noise) shared with the reference torch loop — the rest of
+            # the step (grad, clip, AdamW, LR, EMA) is EXACTLY the
+            # production path
+            del scale_factor
+            return model.training_step(params, batch, key, t=tn[0],
+                                       noise=tn[1])
         if with_fs:
             # state.scale_factor (calibrated at step 0, orbax-persisted)
             # overrides the static model field, so a resumed LDM run trains
@@ -86,12 +95,14 @@ def make_train_step(
         del scale_factor
         return model.training_step(params, batch, key)
 
-    def _core(state: TrainState, batch: Dict[str, jnp.ndarray], rng, fs_params):
+    def _core(state: TrainState, batch: Dict[str, jnp.ndarray], rng, fs_params,
+              tn=None):
         key = jax.random.fold_in(rng, state.step)
 
         if grad_accum == 1:
             def loss_fn(params):
-                loss, aux = ts(params, batch, key, state.scale_factor, fs_params)
+                loss, aux = ts(params, batch, key, state.scale_factor,
+                               fs_params, tn)
                 return loss, aux
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -135,7 +146,14 @@ def make_train_step(
         metrics["loss"] = loss
         return new_state, metrics
 
-    if with_fs:
+    if inject:
+        assert grad_accum == 1 and not with_fs, (
+            "inject=True (twin harness) supports the plain DDPM step only"
+        )
+
+        def step_fn(state, batch, rng, t, noise):
+            return _core(state, batch, rng, None, (t, noise))
+    elif with_fs:
         def step_fn(state, batch, rng, fs_params):
             return _core(state, batch, rng, fs_params)
     else:
@@ -294,10 +312,28 @@ class Trainer:
         if resume_milestone:
             self.load(resume_milestone)
             sf = float(self.state.scale_factor)
+            model_sf = float(getattr(model, "scale_factor", 1.0))
             if (
                 self.fs_params is not None
                 and getattr(model, "scale_by_std", False)
-                and sf != float(getattr(model, "scale_factor", 1.0))
+                and sf == 1.0
+                and model_sf != 1.0
+            ):
+                # legacy checkpoint from before scale_factor persistence
+                # (always stored the create() default 1.0, ADVICE r3): keep
+                # the model's calibrated value AND write it back into state
+                # so the jitted step trains with it
+                log.warning(
+                    "### checkpoint scale_factor=1.0 looks legacy-unset; "
+                    "keeping model scale_factor=%.6f", model_sf,
+                )
+                self.state = self.state.replace(
+                    scale_factor=jnp.asarray(model_sf, jnp.float32)
+                )
+            elif (
+                self.fs_params is not None
+                and getattr(model, "scale_by_std", False)
+                and sf != model_sf
             ):
                 # training reads state.scale_factor dynamically, but the
                 # milestone SAMPLER bakes the model's static field into its

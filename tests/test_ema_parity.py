@@ -30,21 +30,55 @@ def test_ema_decay_schedule_matches_reference():
         )
 
 
-def test_ema_gating_matches_reference_update_every():
-    """Steps where the reference skips (step % update_every != 0) must keep
-    the shadow unchanged in our formulation too."""
-    cfg = EmaConfig(beta=0.99, update_after_step=0, update_every=8)
+@pytest.mark.parametrize(
+    "after,every", [(0, 1), (0, 8), (10, 4), (3, 5)]
+)
+def test_ema_trajectory_matches_reference(after, every):
+    """Full-trajectory equivalence vs the actual reference EMA driven the
+    way train_uncond_dpm.py:306-310 drives it (update() AFTER the trainer
+    step increments): same gating phase, same warmup copy-through, same
+    initted first-post-warmup copy, same decay epoch."""
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from ddm.ema import EMA as RefEMA
+
     from adm_tpu.train.state import TrainState, ema_update
 
-    import jax
+    torch.manual_seed(0)
+    model = torch.nn.Linear(3, 3)
+    ref = RefEMA(model, beta=0.9, update_after_step=after,
+                 update_every=every)
+    rng = np.random.RandomState(1)
 
-    params = {"w": jnp.ones((4,))}
+    params = {
+        "w": jnp.asarray(model.weight.detach().numpy()),
+        "b": jnp.asarray(model.bias.detach().numpy()),
+    }
     state = TrainState.create(params, opt_state=None)
-    # move params away from ema
-    state = state.replace(params={"w": jnp.zeros((4,))})
-    for step in range(1, 17):
-        state = state.replace(step=jnp.asarray(step))
-        new_ema = ema_update(state, cfg)
-        changed = not bool(jnp.allclose(new_ema["w"], state.ema_params["w"]))
-        assert changed == (step % 8 == 0), f"step {step}"
-        state = state.replace(ema_params=new_ema)
+
+    for k in range(1, 40):
+        # "optimizer step": move the online params
+        w = rng.randn(3, 3).astype(np.float32)
+        b = rng.randn(3).astype(np.float32)
+        with torch.no_grad():
+            model.weight.copy_(torch.from_numpy(w))
+            model.bias.copy_(torch.from_numpy(b))
+        ref.update()  # reference order: after the trainer step increments
+
+        state = state.replace(
+            step=jnp.asarray(k), params={"w": jnp.asarray(w), "b": jnp.asarray(b)}
+        )
+        state = state.replace(ema_params=ema_update(state, TrainStateCfg(after, every)))
+
+        np.testing.assert_allclose(
+            np.asarray(state.ema_params["w"]),
+            # atol: torch lerp_ vs our e*eff + p*(1-eff) round differently
+            # (measured residual <= 1.2e-7 over 40 steps)
+            ref.ema_model.weight.detach().numpy(), rtol=1e-6, atol=1e-6,
+            err_msg=f"EMA weight diverged at trainer step {k} "
+                    f"(after={after}, every={every})",
+        )
+
+
+def TrainStateCfg(after, every):
+    return EmaConfig(beta=0.9, update_after_step=after, update_every=every)

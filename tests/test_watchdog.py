@@ -1,8 +1,20 @@
 """Stall watchdog: detects a hung child via stale heartbeat, kills it, and
-relaunches resuming from the newest milestone (VERDICT r2 item 7)."""
+relaunches resuming from the newest milestone (VERDICT r2 item 7).
 
+All fake trainers spawn with `python -S`: on this box a plain interpreter
+start runs sitecustomize -> axon.register -> full jax import (~4-10 s,
+VERDICT r3 weak #1), which could eat the whole grace window and kill the
+child before its first heartbeat. -S skips site init; the fakes are
+stdlib-only. Grace is also sized >= 60 s so a loaded box can't starve the
+child of its first heartbeat.
+"""
+
+import os
+import signal
 import sys
 import textwrap
+import threading
+import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
@@ -27,6 +39,22 @@ CHILD = textwrap.dedent("""
     time.sleep(3600)  # stall: no more heartbeats
 """)
 
+# Fake trainer for the SIGSTOP-pause test: heartbeats briefly, writes its
+# pid, then runs WITHOUT heartbeating long enough that a bench-style pause
+# would push the heartbeat age past `timeout` — then heartbeats and exits 0.
+PAUSE_CHILD = textwrap.dedent("""
+    import sys, time
+    from pathlib import Path
+    out = Path(sys.argv[1])
+    hb = out / "heartbeat"
+    hb.write_text("alive")
+    (out / "child.pid").write_text(str(__import__("os").getpid()))
+    time.sleep(5.5)   # paused ~4 s of this by the test (SIGSTOP)
+    hb.write_text("alive-again")
+    (out / "done").write_text("completed")
+    sys.exit(0)
+""")
+
 
 def test_newest_milestone(tmp_path):
     assert newest_milestone(tmp_path) == 0
@@ -42,11 +70,11 @@ def test_run_watched_kills_stalled_child_and_resumes(tmp_path):
     logs = []
 
     def make_cmd(resume):
-        return [sys.executable, str(script), str(tmp_path), str(resume)]
+        return [sys.executable, "-S", str(script), str(tmp_path), str(resume)]
 
     rc = run_watched(
         make_cmd, tmp_path,
-        timeout=1.0, poll=0.2, grace=5.0, max_restarts=3,
+        timeout=1.0, poll=0.2, grace=60.0, max_restarts=3,
         log=logs.append,
     )
     assert rc == 0
@@ -60,12 +88,52 @@ def test_run_watched_gives_up(tmp_path):
     script.write_text("import sys; sys.exit(3)\n")
 
     def make_cmd(resume):
-        return [sys.executable, str(script)]
+        return [sys.executable, "-S", str(script)]
 
     logs = []
     rc = run_watched(
         make_cmd, tmp_path,
-        timeout=1.0, poll=0.1, grace=2.0, max_restarts=2, log=logs.append,
+        timeout=1.0, poll=0.1, grace=60.0, max_restarts=2, log=logs.append,
     )
     assert rc == 1
     assert any("giving up" in l for l in logs)
+
+
+def test_run_watched_tolerates_sigstop_pause(tmp_path):
+    """bench.py SIGSTOPs the trainer to quiesce the chip (VERDICT r3 item 2):
+    the watchdog must see state 'T' as paused, not stalled, and must not
+    kill over the heartbeat age accrued while paused."""
+    script = tmp_path / "pause_child.py"
+    script.write_text(PAUSE_CHILD)
+    logs = []
+    pid_file = tmp_path / "child.pid"
+
+    def pauser():
+        deadline = time.time() + 30
+        while not pid_file.exists():
+            if time.time() > deadline:
+                return
+            time.sleep(0.05)
+        pid = int(pid_file.read_text())
+        time.sleep(0.5)
+        os.kill(pid, signal.SIGSTOP)  # heartbeat now ages past timeout
+        time.sleep(4.0)
+        os.kill(pid, signal.SIGCONT)
+
+    t = threading.Thread(target=pauser)
+    t.start()
+
+    def make_cmd(resume):
+        return [sys.executable, "-S", str(script), str(tmp_path)]
+
+    # timeout 3 < the 4 s pause: without 'T'-state tolerance the watchdog
+    # would kill the paused child and loop to max_restarts. The child's
+    # UNPAUSED no-heartbeat stretch is ~1.5 s, well under timeout.
+    rc = run_watched(
+        make_cmd, tmp_path,
+        timeout=3.0, poll=0.2, grace=60.0, max_restarts=1, log=logs.append,
+    )
+    t.join()
+    assert rc == 0
+    assert (tmp_path / "done").read_text() == "completed"
+    assert not any("STALL" in l for l in logs)

@@ -9,7 +9,10 @@ orbax milestone in the results folder.
 
 Usage:
   python tools/watchdog.py <steps>                # wraps tools/train_long.py
-  python tools/watchdog.py <steps> --timeout 900
+  python tools/watchdog.py <steps> --timeout 900 --grace 5400
+
+A SIGSTOP'd child (bench.py pausing the trainer to quiesce the chip) is
+recognized via /proc state 'T' and never counted as stalled.
 
 Library: run_watched() is generic over any (resume_milestone -> argv)
 command factory; tests/test_watchdog.py drives it with a fake trainer.
@@ -26,6 +29,19 @@ import sys
 import time
 from pathlib import Path
 from typing import Callable, List
+
+
+def _proc_state(pid: int) -> str:
+    """Single-char process state from /proc/<pid>/stat ('' if gone).
+
+    'T' (SIGSTOP'd) matters: bench.py quiesces the chip by pausing the
+    training pid, and a paused child must not be judged stalled."""
+    try:
+        stat = Path(f"/proc/{pid}/stat").read_text()
+        # field 3, after the parenthesized comm (which may contain spaces)
+        return stat.rsplit(")", 1)[1].split()[0]
+    except (OSError, IndexError):
+        return ""
 
 
 def newest_milestone(results_dir: Path) -> int:
@@ -65,18 +81,30 @@ def run_watched(
         # new session: SIGKILL to the group catches helper threads/forks
         child = subprocess.Popen(cmd, start_new_session=True)
         stalled = False
+        pause_slack = 0.0  # time observed in SIGSTOP 'T' state (bench quiesce)
+        last_mtime = None
         while True:
             rc = child.poll()
             if rc is not None:
                 break
+            # a SIGSTOP'd child (bench.py quiescing the chip) is paused,
+            # not stalled: accrue slack so the aged heartbeat is forgiven
+            # after SIGCONT, until a fresh heartbeat resets it
+            if _proc_state(child.pid) == "T":
+                pause_slack += poll
+                time.sleep(poll)
+                continue
             # stat ONCE — the file can vanish between two calls (results
             # dir cleanup), and the supervisor must never die of that
             try:
                 mtime = heartbeat.stat().st_mtime
             except OSError:
                 mtime = None
+            if mtime is not None and mtime != last_mtime:
+                last_mtime = mtime
+                pause_slack = 0.0
             fresh = mtime is not None and mtime >= launch_t
-            limit = timeout if fresh else grace
+            limit = (timeout if fresh else grace) + pause_slack
             ref_age = (
                 time.time() - mtime if fresh else time.time() - launch_t
             )
@@ -108,6 +136,14 @@ def main():
     timeout = 900.0
     if "--timeout" in sys.argv:
         timeout = float(sys.argv[sys.argv.index("--timeout") + 1])
+    # grace default 5400 (ADVICE r3: one knob, one documented value):
+    # backend init (~5 min) + cold compiles of the train step, samplers and
+    # inception eval can stack past 30 min on the tunnel (measured: 31 min
+    # for the 26k resume). run_watched's library default stays lower (1800)
+    # for non-tunnel uses; this CLI always passes the long-run value.
+    grace = 5400.0
+    if "--grace" in sys.argv:
+        grace = float(sys.argv[sys.argv.index("--grace") + 1])
     results = Path("results/long_run")
     results.mkdir(parents=True, exist_ok=True)
     here = Path(__file__).resolve().parent
@@ -116,10 +152,7 @@ def main():
         return [sys.executable, str(here / "train_long.py"), str(steps),
                 str(resume)]
 
-    # grace 5400: backend init (~5 min) + cold compiles of the train step,
-    # samplers, and inception eval can stack past 30 min on the tunnel
-    # (measured: 31 min for the 26k resume with one fresh train-step compile)
-    rc = run_watched(make_cmd, results, timeout=timeout, grace=5400.0)
+    rc = run_watched(make_cmd, results, timeout=timeout, grace=grace)
     summary = results / "summary.json"
     if summary.exists():
         print(json.dumps(json.loads(summary.read_text())))
