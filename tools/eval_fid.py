@@ -1,10 +1,14 @@
-"""Protocol-scale FID eval loop, on-chip (VERDICT r2 item 1a).
+"""Protocol-scale FID + ISC + KID eval loop, on-chip (VERDICT r2 item 1a,
+r3 item 7).
 
 Reference protocol: 50,000 EMA samples (10 sampling steps) scored against
 the train set with InceptionV3 (train_uncond_dpm.py:363-365,
-configs/cifar10/ddm_uncond_const_uncond_unet.yaml:67-74). This runs that
-exact loop on the flagship long-run checkpoint: batched jitted sampling ->
-on-device Inception features -> closed-form Fréchet distance, recording
+configs/cifar10/ddm_uncond_const_uncond_unet.yaml:67-74); the fidelity CLI
+surface additionally exposes ISC and KID (reference metrics/metric.py:19,
+sample_uncond.py:177-180). This runs that exact loop on the flagship
+long-run checkpoint: batched jitted sampling -> on-device Inception
+features (pool + logits taps in ONE pass) -> closed-form Fréchet distance,
+10-split inception score and 100x1000 unbiased-MMD^2 KID, recording
 sampling and feature-extraction throughput.
 
 Weights: ADM_TPU_INCEPTION_WEIGHTS (real 2015-12-05 file -> real FID) or
@@ -42,6 +46,8 @@ def main():
     from adm_tpu.core.diffusion import DDPM
     from adm_tpu.data import ShapesDataset
     from adm_tpu.metrics.fid import compute_fid
+    from adm_tpu.metrics.isc import inception_score
+    from adm_tpu.metrics.kid import kernel_inception_distance
     from adm_tpu.metrics.metric import (
         extract_features,
         fid_feature_key,
@@ -67,13 +73,14 @@ def main():
     inc = load_inception_params(weights)
     feat = fid_feature_key(weights)  # '192' in proxy mode (collapse, see metric.py)
 
+    taps = (feat, "logits_unbiased")  # fid/kid pool + isc logits, one pass
     sampler = jax.jit(
         lambda p, k: model.sample(p, k, batch_size=bs, unnormalize=True)
     )
     # warm both programs (compile excluded from the timings)
     warm = np.asarray(sampler(state.ema_params, jax.random.PRNGKey(0)))
     _ = extract_features(
-        (warm * 255).clip(0, 255).astype(np.uint8), inc, (feat,), bs
+        (warm * 255).clip(0, 255).astype(np.uint8), inc, taps, bs
     )
 
     # ---- reference (train-set) features, protocol size, cached ----------
@@ -95,7 +102,7 @@ def main():
 
     # ---- 50k-sample generation + features, streamed ---------------------
     n_batches = (n_samples + bs - 1) // bs
-    feats = []
+    feats, logits = [], []
     t_sample = t_feat = 0.0
     for i in range(n_batches):
         t0 = time.time()
@@ -104,25 +111,40 @@ def main():
         t_sample += time.time() - t0
         t0 = time.time()
         u8 = (imgs * 255).clip(0, 255).astype(np.uint8)
-        feats.append(extract_features(u8, inc, (feat,), bs)[feat])
+        f = extract_features(u8, inc, taps, bs)
+        feats.append(f[feat])
+        logits.append(f["logits_unbiased"])
         t_feat += time.time() - t0
         if i % 20 == 0:
             print(f"[eval_fid] batch {i}/{n_batches} "
                   f"sample {bs * (i + 1) / max(t_sample, 1e-9):.1f} img/s",
                   flush=True)
     gen_feats = np.concatenate(feats)[:n_samples]
+    gen_logits = np.concatenate(logits)[:n_samples]
 
     fid = float(compute_fid(jnp.asarray(gen_feats), jnp.asarray(ref_feats)))
+    t0 = time.time()
+    isc_m, isc_s = inception_score(jnp.asarray(gen_logits))
+    kid_m, kid_s = kernel_inception_distance(
+        jnp.asarray(gen_feats), jnp.asarray(ref_feats), jax.random.PRNGKey(0)
+    )
+    t_metrics = time.time() - t0
+    tag = "proxy_" if weights == "random" else ""
     result = {
         "milestone": milestone,
         "step": None,
         "n_samples": n_samples,
         "weights": weights,
-        ("proxy_fid" if weights == "random" else "fid"): round(fid, 4),
+        f"{tag}fid": round(fid, 4),
+        f"{tag}isc_mean": round(float(isc_m), 4),
+        f"{tag}isc_std": round(float(isc_s), 4),
+        f"{tag}kid_mean": round(float(kid_m), 6),
+        f"{tag}kid_std": round(float(kid_s), 6),
         "sample_imgs_per_sec": round(n_batches * bs / t_sample, 1),
         "feature_imgs_per_sec": round(n_batches * bs / t_feat, 1),
         "ref_feature_secs": round(t_ref, 1),
-        "wall_secs": round(t_sample + t_feat + t_ref, 1),
+        "isc_kid_secs": round(t_metrics, 1),
+        "wall_secs": round(t_sample + t_feat + t_ref + t_metrics, 1),
     }
     try:
         result["step"] = int(state.step)
