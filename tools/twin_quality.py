@@ -81,21 +81,16 @@ def sample_torch_ema(dd, ema_net, unit_noise_nchw: np.ndarray) -> np.ndarray:
     return np.asarray(img.to(torch.float32)).transpose(0, 2, 3, 1)  # NHWC [0,1]
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("steps", type=int, nargs="?", default=2000)
-    ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--out", default="results/twin")
-    ap.add_argument("--n-sample", type=int, default=256)
-    ap.add_argument("--n-ref", type=int, default=2048)
-    args = ap.parse_args()
-    N_SAMPLE, N_REF = args.n_sample, args.n_ref
-    out = Path(args.out)
+def run_quality(steps: int = 2000, batch: int = 16,
+                out_dir: str = "results/twin", n_sample: int = 256,
+                n_ref: int = 2048, log=print) -> dict:
+    N_SAMPLE, N_REF = n_sample, n_ref
+    out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
 
     # LR horizon = run length on both sides (the reference always sets
     # sched_total = train_num_steps; beyond it the poly lambda is undefined)
-    tw.SCHED_TOTAL = args.steps
+    tw.SCHED_TOTAL = steps
 
     import torch
 
@@ -108,7 +103,7 @@ def main():
     )
     from adm_tpu.utils.image import save_image_grid
 
-    dd, tnet, topt, tsched, tema = tw.build_torch_side(args.steps)
+    dd, tnet, topt, tsched, tema = tw.build_torch_side(steps)
     model, state, jstep, schedule = tw.build_jax_side(tnet)
 
     data = ShapesDataset(image_size=(tw.RES, tw.RES))
@@ -142,17 +137,17 @@ def main():
         0, 256, held_u8.shape, dtype=np.uint8
     )
     report = {
-        "config": dict(steps=args.steps, batch=args.batch, res=tw.RES,
+        "config": dict(steps=steps, batch=batch, res=tw.RES,
                        n_sample=N_SAMPLE, n_ref=N_REF, feature=feat),
         "anchor_heldout": round(score(held_u8, ref_feats), 4),
         "anchor_noise": round(score(noise_u8, ref_feats), 4),
         "milestones": [],
     }
-    print(f"[twinq] anchors: heldout={report['anchor_heldout']} "
-          f"noise={report['anchor_noise']}", flush=True)
+    log(f"[twinq] anchors: heldout={report['anchor_heldout']} "
+        f"noise={report['anchor_noise']}")
 
-    milestones = sorted({args.steps // 8, args.steps // 4, args.steps // 2,
-                         3 * args.steps // 4, args.steps})
+    milestones = sorted({steps // 8, steps // 4, steps // 2,
+                         3 * steps // 4, steps})
 
     def evaluate(step_no: int):
         noise = sample_stream.standard_normal(
@@ -177,18 +172,18 @@ def main():
         save_image_grid(np.clip(grid, 0, 1),
                         str(out / f"twinq-{step_no}.png"), nrow=8)
         (out / "twin_quality.json").write_text(json.dumps(report, indent=1))
-        print(f"[twinq] step {step_no}: torch={row['proxy_fid_torch']} "
-              f"jax={row['proxy_fid_jax']} "
-              f"pix_diff={row['sample_mean_abs_diff']}", flush=True)
+        log(f"[twinq] step {step_no}: torch={row['proxy_fid_torch']} "
+            f"jax={row['proxy_fid_jax']} "
+            f"pix_diff={row['sample_mean_abs_diff']}")
 
     t0 = time.time()
-    for it in range(args.steps):
+    for it in range(steps):
         imgs = np.stack(
-            [data[it * args.batch + i]["image"] for i in range(args.batch)]
+            [data[it * batch + i]["image"] for i in range(batch)]
         )
-        t_np = stream.random(args.batch, dtype=np.float32) * (1 - eps) + eps
+        t_np = stream.random(batch, dtype=np.float32) * (1 - eps) + eps
         noise_np = stream.standard_normal(
-            (args.batch, 3, tw.RES, tw.RES), dtype=np.float32
+            (batch, 3, tw.RES, tw.RES), dtype=np.float32
         )
 
         xt = torch.from_numpy(imgs.transpose(0, 3, 1, 2))
@@ -214,9 +209,9 @@ def main():
 
         if (it + 1) % 100 == 0:
             lt, lj = float(tloss), float(metrics["loss"])
-            print(f"[twinq] step {it + 1}/{args.steps} loss t={lt:.2f} "
-                  f"j={lj:.2f} rel={abs(lj - lt) / max(abs(lt), 1e-12):.2e} "
-                  f"({(time.time() - t0) / (it + 1):.2f} s/step)", flush=True)
+            log(f"[twinq] step {it + 1}/{steps} loss t={lt:.2f} "
+                f"j={lj:.2f} rel={abs(lj - lt) / max(abs(lt), 1e-12):.2e} "
+                f"({(time.time() - t0) / (it + 1):.2f} s/step)")
         if (it + 1) in milestones:
             evaluate(it + 1)
 
@@ -228,10 +223,22 @@ def main():
         max(abs(a - b) for a, b in zip(trj, jrj)) / span, 4
     )
     (out / "twin_quality.json").write_text(json.dumps(report, indent=1))
-    print(json.dumps({k: report[k] for k in (
+    log(json.dumps({k: report[k] for k in (
         "anchor_heldout", "anchor_noise",
-        "max_traj_gap_frac_of_anchor_span", "wall_seconds")},), flush=True)
-    print(f"[twinq] report -> {out / 'twin_quality.json'}", flush=True)
+        "max_traj_gap_frac_of_anchor_span", "wall_seconds")},))
+    log(f"[twinq] report -> {out / 'twin_quality.json'}")
+    return report
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("steps", type=int, nargs="?", default=2000)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--out", default="results/twin")
+    ap.add_argument("--n-sample", type=int, default=256)
+    ap.add_argument("--n-ref", type=int, default=2048)
+    a = ap.parse_args()
+    run_quality(a.steps, a.batch, a.out, a.n_sample, a.n_ref)
 
 
 if __name__ == "__main__":
