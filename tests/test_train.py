@@ -127,3 +127,28 @@ def test_batch_sharding_over_mesh(tiny_setup, devices):
     assert img.sharding == data_sharding(mesh)
     assert len(img.addressable_shards) == 8
     assert img.addressable_shards[0].data.shape[0] == img.shape[0] // 8
+
+
+def test_run_stats_live_during_training(tiny_setup, tmp_path):
+    """Steady-state accounting must be LIVE at milestones, not only at
+    Trainer.train return (VERDICT r3 item 6): a watchdog-killed segment's
+    last milestone summary still reports the compile/milestone-excluded
+    production rate."""
+    cfg, model, data_iter = tiny_setup
+    seen = []
+
+    def sample_fn(trainer, milestone):
+        seen.append(dict(getattr(trainer, "last_run_stats", {})))
+
+    trainer = _make_trainer(
+        cfg, model, data_iter, results_folder=str(tmp_path),
+        save_and_sample_every=20, log_freq=5,
+    )
+    trainer.train(num_steps=25, sample_fn=sample_fn)
+    assert seen, "milestone sample_fn never ran"
+    # the milestone at step 20 has seen log marks at 5/10/15/20
+    assert "steady_imgs_per_sec" in seen[0], seen
+    assert seen[0]["steady_imgs_per_sec"] > 0
+    assert seen[0]["steady_span_steps"] == 15
+    # and the end-of-run stats cover the full span
+    assert trainer.last_run_stats["steady_span_steps"] == 20
