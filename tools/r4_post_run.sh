@@ -1,0 +1,28 @@
+#!/bin/bash
+# End-of-round-4 gate sequence: wait for the relaunched (800k-horizon)
+# watchdog run to finish its 100k-step target, then evaluate the
+# acceptance gate at the final milestone on the freed chip:
+#   1. tools/eval_fid.py 50000       protocol-scale pass at the newest milestone
+#   2. tools/sample_steps_probe.py   det10/25 discretization at the final milestone
+#   3. tools/gate_verdict.py         pass/fail on the anchor-calibrated scale
+set -u
+cd "$(dirname "$0")/.."
+LOG=results/r4_queue.log
+until grep -q "\[r4_relaunch\] watchdog pid" "$LOG"; do sleep 120; done
+WPID=$(cat results/long_run/watchdog.pid)
+while kill -0 "$WPID" 2>/dev/null; do sleep 60; done
+echo "[r4_post_run] watchdog $WPID exited, chip free $(date)" >> "$LOG"
+
+FINAL_MS=$(ls -d results/long_run/model-* 2>/dev/null | sed 's/.*model-//' | sort -n | tail -1)
+timeout 7200 python tools/eval_fid.py 50000 >> "$LOG" 2>&1
+echo "[r4_post_run] eval_fid rc=$? $(date)" >> "$LOG"
+# archive the milestone-26 probe before probing the final milestone
+# (the probe resumes from a partial JSON, so it must start clean)
+if [ -f results/long_run/sample_steps_probe.json ]; then
+  mv results/long_run/sample_steps_probe.json \
+     results/long_run/sample_steps_probe_m26.json
+fi
+timeout 7200 python tools/sample_steps_probe.py "$FINAL_MS" 1024 >> "$LOG" 2>&1
+echo "[r4_post_run] steps_probe rc=$? milestone=$FINAL_MS $(date)" >> "$LOG"
+python tools/gate_verdict.py >> "$LOG" 2>&1
+echo "[r4_post_run] all done $(date)" >> "$LOG"
