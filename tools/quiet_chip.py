@@ -9,6 +9,15 @@ state as paused). No jax import — safe to exec instantly.
 
 Usage: python tools/quiet_chip.py CMD [ARGS...]
 Exit code is the wrapped command's.
+
+CAVEAT (measured, round 4): only pause a trainer that is in STEADY STATE.
+Pausing one mid-compile freezes its in-flight remote-compile RPC and the
+axon compile service then refuses new clients ("TPU backend setup/compile
+error (Unavailable)" after ~25 min) — two queue items died this way on
+2026-08-17 (results/r4_queue.log 22:23, 22:48) while the freshly-relaunched
+trainer was inside its ~31-min train-step compile. In round 3 the bench
+coexisted fine with a steady-state trainer. If the trainer hasn't
+heartbeated past its launch grace yet, stop it entirely instead of pausing.
 """
 
 from __future__ import annotations
