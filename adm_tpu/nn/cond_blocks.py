@@ -136,7 +136,7 @@ class Block(nn.Module):
     def __call__(self, x: Array, scale_shift=None) -> Array:
         x = WSConv(self.features, dtype=self.dtype, name="proj")(x)
         g = min(self.groups, x.shape[-1])
-        x = nn.GroupNorm(num_groups=g, dtype=jnp.float32, name="norm")(x).astype(
+        x = nn.GroupNorm(num_groups=g, epsilon=1e-5, dtype=jnp.float32, name="norm")(x).astype(
             self.dtype
         )
         if scale_shift is not None:
@@ -272,8 +272,14 @@ def _bilinear_align_corners(x: Array, size: Tuple[int, int]) -> Array:
 
 
 class _BatchStatsNorm(nn.Module):
-    """BatchNorm in training mode (RelationNet input convs use
-    BatchNorm2d(momentum=0.03); discriminator-style batch statistics)."""
+    """BatchNorm matching RelationNet's BatchNorm2d(momentum=0.03, eps=1e-3)
+    (cond_unet_sd.py:247-254). Default: training-mode batch statistics
+    (stateless — the TPU-native choice for training from scratch).
+    frozen=True: inference affine only, with the checkpoint's running stats
+    pre-folded into scale/bias by torch_convert (use fold_batchnorm with
+    eps=1e-3) — exact BatchNorm2d.eval() for converted reference weights."""
+
+    frozen: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -281,6 +287,8 @@ class _BatchStatsNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
         x32 = x.astype(jnp.float32)
+        if self.frozen:
+            return (x32 * scale + bias).astype(x.dtype)
         mean = jnp.mean(x32, axis=(0, 1, 2), keepdims=True)
         var = jnp.var(x32, axis=(0, 1, 2), keepdims=True)
         return ((x32 - mean) * jax.lax.rsqrt(var + 1e-3) * scale + bias).astype(
@@ -369,6 +377,7 @@ class RelationNet(nn.Module):
     ffn_dim: int = 512
     window_size1: Tuple[int, int] = (4, 4)
     window_size2: Tuple[int, int] = (1, 1)
+    bn_frozen: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -376,11 +385,11 @@ class RelationNet(nn.Module):
         cond = nn.Conv(self.embed_dim, (1, 1), dtype=self.dtype, name="input_conv1")(
             cond
         )
-        cond = _BatchStatsNorm(name="input_bn1")(cond)
+        cond = _BatchStatsNorm(frozen=self.bn_frozen, name="input_bn1")(cond)
         feat = nn.Conv(self.embed_dim, (1, 1), dtype=self.dtype, name="input_conv2")(
             feat
         )
-        feat = _BatchStatsNorm(name="input_bn2")(feat)
+        feat = _BatchStatsNorm(frozen=self.bn_frozen, name="input_bn2")(feat)
         for i in range(self.layers):
             feat = BasicAttentionLayer(
                 embed_dim=self.embed_dim,
@@ -405,7 +414,7 @@ class SpatialAttGN(nn.Module):
         from adm_tpu.nn.blocks import SpatialAtt
 
         g = min(8, max(self.features // 4, 1))
-        h = nn.GroupNorm(num_groups=g, dtype=jnp.float32, name="norm")(x).astype(
+        h = nn.GroupNorm(num_groups=g, epsilon=1e-5, dtype=jnp.float32, name="norm")(x).astype(
             x.dtype
         )
         h = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype, name="conv")(h)

@@ -51,6 +51,10 @@ class CondUnet(nn.Module):
     window_sizes2: Sequence[Sequence[int]] = ((16, 16), (8, 8), (4, 4), (2, 2))
     fourier_scale: float = 16.0
     cond_net: str = "swin"
+    # 'gn' trains from scratch (TPU-friendly, stateless); 'frozen_bn' is the
+    # exact BatchNorm2d-inference affine for reference/torchvision weights
+    # converted with utils.torch_convert.convert_cond_unet_sd
+    backbone_norm: str = "gn"
     precondition: bool = True
     n_decoders: int = 1
     dtype: jnp.dtype = jnp.float32
@@ -86,7 +90,11 @@ class CondUnet(nn.Module):
 
         # ---- cond backbone + projections --------------------------------
         bb_cls, _ = BACKBONES[self.cond_net]
-        feats = bb_cls(dtype=self.dtype, name="init_conv_mask")(cond)
+        bb_kw = (
+            {"norm_mode": self.backbone_norm}
+            if "norm_mode" in bb_cls.__dataclass_fields__ else {}
+        )
+        feats = bb_cls(dtype=self.dtype, name="init_conv_mask", **bb_kw)(cond)
         hm = [
             nn.Conv(dims[i], (1, 1), dtype=self.dtype, name=f"projects_{i}")(feats[i])
             for i in range(n_levels)
@@ -99,7 +107,7 @@ class CondUnet(nn.Module):
         x = jnp.concatenate([x.astype(self.dtype), h0], axis=-1)
         x = nn.Conv(init_dim, (7, 7), padding=3, dtype=self.dtype, name="init_conv")(x)
         g = min(init_dim // 4, 8)
-        x = nn.GroupNorm(num_groups=g, dtype=jnp.float32, name="init_norm")(x).astype(
+        x = nn.GroupNorm(num_groups=g, epsilon=1e-5, dtype=jnp.float32, name="init_norm")(x).astype(
             self.dtype
         )
         r = x
@@ -132,6 +140,7 @@ class CondUnet(nn.Module):
                 ffn_dim=dims[ind] * 2,
                 window_size1=tuple(self.window_sizes1[ind]),
                 window_size2=tuple(self.window_sizes2[ind]),
+                bn_frozen=self.backbone_norm == "frozen_bn",
                 dtype=self.dtype,
                 name=f"relation_down_{ind}",
             )(hm[ind], x)
@@ -140,7 +149,8 @@ class CondUnet(nn.Module):
                 name=f"down_{ind}_block2",
             )(x, temb)
             x = PreNormResidual(
-                LinearAttention(dtype=self.dtype), name=f"down_{ind}_attn"
+                LinearAttention(dtype=self.dtype, name=f"down_{ind}_attn_fn"),
+                name=f"down_{ind}_attn",
             )(x)
             skips.append(x)
             if not is_last:
@@ -159,7 +169,9 @@ class CondUnet(nn.Module):
         x = ResnetBlock(
             mid_dim, self.resnet_block_groups, dtype=self.dtype, name="mid_block1"
         )(x, temb)
-        x = PreNormResidual(Attention(dtype=self.dtype), name="mid_attn")(x)
+        x = PreNormResidual(
+            Attention(dtype=self.dtype, name="mid_attn_fn"), name="mid_attn"
+        )(x)
         x = ResnetBlock(
             mid_dim, self.resnet_block_groups, dtype=self.dtype, name="mid_block2"
         )(x, temb)
@@ -188,6 +200,7 @@ class CondUnet(nn.Module):
                     ffn_dim=dims_rev[ind] * 2,
                     window_size1=tuple(self.window_sizes1[::-1][ind]),
                     window_size2=tuple(self.window_sizes2[::-1][ind]),
+                    bn_frozen=self.backbone_norm == "frozen_bn",
                     dtype=self.dtype,
                     name=f"relation_up{suffix}_{ind}",
                 )(dec_hm.pop(), hd)
@@ -197,7 +210,10 @@ class CondUnet(nn.Module):
                     name=f"up{suffix}_{ind}_block2",
                 )(hd, temb)
                 hd = PreNormResidual(
-                    LinearAttention(dtype=self.dtype), name=f"up{suffix}_{ind}_attn"
+                    LinearAttention(
+                        dtype=self.dtype, name=f"up{suffix}_{ind}_attn_fn"
+                    ),
+                    name=f"up{suffix}_{ind}_attn",
                 )(hd)
                 if not is_last:
                     hd = jnp.repeat(jnp.repeat(hd, 2, axis=1), 2, axis=2)

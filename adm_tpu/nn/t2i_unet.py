@@ -69,7 +69,7 @@ class CondAttention(nn.Module):
         q_s = _bilinear_resize(q_s, (h, w))
         out = nn.Conv(c, (1, 1), dtype=self.dtype, name="out_conv")(q_s)
         g = min(8, c)
-        out = nn.GroupNorm(num_groups=g, dtype=jnp.float32, name="out_norm")(
+        out = nn.GroupNorm(num_groups=g, epsilon=1e-5, dtype=jnp.float32, name="out_norm")(
             out
         ).astype(x.dtype)
         return shortcut + out

@@ -231,3 +231,162 @@ def convert_dhariwal_edm(sd: Dict, channels_per_head: int = 64) -> Dict:
                 "bias": np.asarray(sd[f"model.out_conv{t_suffix}.bias"]),
             }
     return {"params": {"model": model}}
+
+
+# ---------------------------------------------------------------------------
+# Conditional UNet (reference unet/cond_unet_sd.py Unet, single decoder)
+# ---------------------------------------------------------------------------
+
+
+def _lucid_resblock(sd: Dict, prefix: str) -> Dict:
+    """lucidrains ResnetBlock (cond_unet_sd.py:444-467): mlp = Sequential(
+    SiLU, Linear); block{1,2} = WeightStandardizedConv2d + GroupNorm;
+    res_conv only when in/out dims differ."""
+    out = {
+        "mlp": {"kernel": _t_linear(sd[f"{prefix}.mlp.1.weight"]),
+                "bias": np.asarray(sd[f"{prefix}.mlp.1.bias"])},
+    }
+    for b in ("block1", "block2"):
+        out[b] = {
+            "proj": {"kernel": _t_conv(sd[f"{prefix}.{b}.proj.weight"]),
+                     "bias": np.asarray(sd[f"{prefix}.{b}.proj.bias"])},
+            "norm": {"scale": np.asarray(sd[f"{prefix}.{b}.norm.weight"]),
+                     "bias": np.asarray(sd[f"{prefix}.{b}.norm.bias"])},
+        }
+    if f"{prefix}.res_conv.weight" in sd:
+        out["res_conv"] = {
+            "kernel": _t_conv(sd[f"{prefix}.res_conv.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.res_conv.bias"]),
+        }
+    return out
+
+
+def _conv_wb(sd: Dict, prefix: str) -> Dict:
+    return {"kernel": _t_conv(sd[f"{prefix}.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+
+def _lin_wb(sd: Dict, prefix: str) -> Dict:
+    return {"kernel": _t_linear(sd[f"{prefix}.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+
+def _gn_wb(sd: Dict, prefix: str) -> Dict:
+    return {"scale": np.asarray(sd[f"{prefix}.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+
+def _lin_attention(sd: Dict, prefix: str) -> Dict:
+    """LinearAttention (cond_unet_sd.py:502-529): to_qkv conv (no bias),
+    to_out = Sequential(Conv2d, LayerNorm(g))."""
+    return {
+        "to_qkv": {"kernel": _t_conv(sd[f"{prefix}.to_qkv.weight"])},
+        "to_out": _conv_wb(sd, f"{prefix}.to_out.0"),
+        "out_norm": {"g": np.asarray(sd[f"{prefix}.to_out.1.g"]).reshape(-1)},
+    }
+
+
+def _relation_net(sd: Dict, prefix: str, layers: int = 1) -> Dict:
+    """RelationNet (cond_unet_sd.py:240-283): input_conv{1,2} =
+    Sequential(Conv2d 1x1, BatchNorm2d) — BN folded to the frozen affine
+    input_bn{1,2} — plus BasicAttetnionLayer(s) (q/k/v Linear, conv MLP,
+    concat conv, GroupNorm, out conv)."""
+    out = {}
+    for i in (1, 2):
+        out[f"input_conv{i}"] = _conv_wb(sd, f"{prefix}.input_conv{i}.0")
+        # BatchNorm2d(momentum=0.03, eps=0.001) — cond_unet_sd.py:250
+        out[f"input_bn{i}"] = fold_batchnorm(
+            sd, f"{prefix}.input_conv{i}.1", eps=1e-3
+        )
+    for a in range(layers):
+        ap = f"{prefix}.attentions.{a}"
+        out[f"attention_{a}"] = {
+            "q_lin": _lin_wb(sd, f"{ap}.q_lin"),
+            "k_lin": _lin_wb(sd, f"{ap}.k_lin"),
+            "v_lin": _lin_wb(sd, f"{ap}.v_lin"),
+            "mlp_fc1": _conv_wb(sd, f"{ap}.mlp.fc1"),
+            "mlp_fc2": _conv_wb(sd, f"{ap}.mlp.fc2"),
+            "concat_conv": _conv_wb(sd, f"{ap}.concat_conv"),
+            "gn": _gn_wb(sd, f"{ap}.gn"),
+            "out_conv": _conv_wb(sd, f"{ap}.out_conv"),
+        }
+    return out
+
+
+def convert_cond_unet_sd(
+    sd: Dict, dim_mults=(1, 2, 4, 4), cond_net: str = "swin"
+) -> Dict:
+    """Reference unet/cond_unet_sd.py Unet state_dict -> CondUnet variables
+    (single-decoder family: train_cond_dpm/ldm checkpoints for saliency,
+    depth, SR, inpainting...).
+
+    Returns the full variables dict {params, buffers} for
+    CondUnet(n_decoders=1, backbone_norm='frozen_bn'): the cond backbone
+    ('init_conv_mask') converts via the matching backbone converter with
+    BatchNorm folded to inference affines, so use backbone_norm='frozen_bn'
+    (exact BN eval semantics). The reference hardcodes 4 projection scales
+    (cond_unet_sd.py:669-679) — len(dim_mults) must be 4.
+    """
+    from adm_tpu.utils.backbone_convert import (
+        convert_efficientnet_b7,
+        convert_resnet101,
+        convert_swin_b,
+    )
+
+    n_levels = len(dim_mults)
+    if n_levels != 4:
+        raise ValueError(
+            "reference cond_unet_sd supports exactly 4 levels "
+            f"(hardcoded projects), got {n_levels}"
+        )
+    p: Dict = {
+        "init_conv": _conv_wb(sd, "init_conv.0"),
+        "init_norm": _gn_wb(sd, "init_conv.1"),
+        "time_mlp1": _lin_wb(sd, "time_mlp.1"),
+        "time_mlp2": _lin_wb(sd, "time_mlp.3"),
+        "mid_block1": _lucid_resblock(sd, "mid_block1"),
+        "mid_block2": _lucid_resblock(sd, "mid_block2"),
+        "mid_attn_fn": {
+            "to_qkv": {"kernel": _t_conv(sd["mid_attn.fn.fn.to_qkv.weight"])},
+            "to_out": _conv_wb(sd, "mid_attn.fn.fn.to_out"),
+        },
+        "decouple1": {
+            "norm": _gn_wb(sd, "decouple1.0"),
+            "conv": _conv_wb(sd, "decouple1.1"),
+            "att": _convert_spatial_att(sd, "decouple1.2"),
+        },
+        "final_res_block": _lucid_resblock(sd, "final_res_block"),
+        "final_conv": _conv_wb(sd, "final_conv"),
+    }
+    p["mid_attn"] = {"norm": {"g": np.asarray(
+        sd["mid_attn.fn.norm.g"]).reshape(-1)}}
+    for i in range(n_levels):
+        p[f"projects_{i}"] = _conv_wb(sd, f"projects.{i}")
+        p[f"down_{i}_block1"] = _lucid_resblock(sd, f"downs.{i}.0")
+        p[f"down_{i}_block2"] = _lucid_resblock(sd, f"downs.{i}.1")
+        p[f"down_{i}_attn"] = {"norm": {"g": np.asarray(
+            sd[f"downs.{i}.2.fn.norm.g"]).reshape(-1)}}
+        p[f"down_{i}_attn_fn"] = _lin_attention(sd, f"downs.{i}.2.fn.fn")
+        p[f"down_{i}_downsample"] = _conv_wb(sd, f"downs.{i}.3")
+        p[f"relation_down_{i}"] = _relation_net(
+            sd, f"relation_layers_down.{i}")
+        p[f"up_{i}_block1"] = _lucid_resblock(sd, f"ups.{i}.0")
+        p[f"up_{i}_block2"] = _lucid_resblock(sd, f"ups.{i}.1")
+        p[f"up_{i}_attn"] = {"norm": {"g": np.asarray(
+            sd[f"ups.{i}.2.fn.norm.g"]).reshape(-1)}}
+        p[f"up_{i}_attn_fn"] = _lin_attention(sd, f"ups.{i}.2.fn.fn")
+        # Upsample = Sequential(nearest x2, Conv 3x3) except the last level
+        # (plain Conv 3x3) — cond_unet_sd.py:335-341,752
+        up_conv = (f"ups.{i}.3.1" if f"ups.{i}.3.1.weight" in sd
+                   else f"ups.{i}.3")
+        p[f"up_{i}_upsample"] = _conv_wb(sd, up_conv)
+        p[f"relation_up_{i}"] = _relation_net(sd, f"relation_layers_up.{i}")
+
+    bb_sd = {k[len("init_conv_mask."):]: v for k, v in sd.items()
+             if k.startswith("init_conv_mask.")}
+    converter = {"resnet": convert_resnet101, "swin": convert_swin_b,
+                 "effnet": convert_efficientnet_b7}[cond_net]
+    p["init_conv_mask"] = converter(bb_sd)["params"]
+
+    buffers = {"time_fourier": {"W": np.asarray(sd["time_mlp.0.W"])}}
+    return {"params": p, "buffers": buffers}

@@ -1,0 +1,127 @@
+"""FULL-MODEL conditional UNet parity vs the reference torch implementation.
+
+Extends the block-level suites (test_cond_blocks_parity, ResnetBlock /
+LinearAttention / RelationNet) to the COMPOSED unet/cond_unet_sd.py Unet:
+instantiate the reference model (cond_net='resnet', random torch init),
+convert the complete state_dict with
+utils.torch_convert.convert_cond_unet_sd (backbone BN folded to the
+frozen-affine inference form), and compare both outputs (x1 prediction and
+the analytic eps branch x2) elementwise. This is the checkpoint-migration
+path for the reference's released conditional models
+(train_cond_dpm/ldm: saliency, depth, SR, inpainting families).
+
+Reference: unet/cond_unet_sd.py:591-883 (4-level trunk, hardcoded 4-scale
+cond projections :669-679, forward :801-883).
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+DIM = 16
+MULTS = (1, 2, 4, 4)
+RES = 64  # x resolution; cond is RES x RES too
+WINDOWS = ((8, 8), (4, 4), (2, 2), (1, 1))
+
+
+@pytest.fixture(scope="module")
+def ref_unet():
+    import types
+
+    import _torchvision_stub as tvs
+
+    tvs.install()
+
+    def stub(name, **attrs):
+        m = sys.modules.get(name) or types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules[name] = m
+        return m
+
+    fv = stub("fvcore")
+    fv.__path__ = []
+    stub("fvcore.common")
+    stub("fvcore.common.config", CfgNode=dict)
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import unet.cond_unet_sd as ref
+    from unet.resnet import resnet101 as _r101
+
+    # the reference hardcodes resnet101(weights=ResNet101_Weights); the
+    # weights enum is env-absent so instantiate randomly-initialized
+    ref.resnet101 = lambda weights=None, **k: _r101(weights=None, **k)
+
+    class Cfg(dict):
+        __getattr__ = dict.__getitem__
+
+    torch.manual_seed(0)
+    net = ref.Unet(
+        dim=DIM, dim_mults=MULTS, channels=1, cond_in_dim=3,
+        window_sizes1=[list(w) for w in WINDOWS],
+        window_sizes2=[list(w) for w in WINDOWS],
+        resnet_block_groups=8, cfg=Cfg(cond_net="resnet"),
+    ).eval()
+    # At RANDOM init the 23-block resnet101 (eval-mode BN with fresh
+    # running stats) amplifies activations to ~2.4e4, saturating the
+    # downstream relation-attention softmaxes where float-order noise
+    # flips outputs — a test-condition artifact (real checkpoints carry
+    # calibrated stats). Tame the residual branches so magnitudes stay
+    # O(1); the converter sees the SAME tamed weights, so parity is
+    # still end-to-end exact.
+    with torch.no_grad():
+        for name, p in net.init_conv_mask.named_parameters():
+            if "conv3.weight" in name:
+                p.mul_(0.05)
+    return net
+
+
+def test_cond_unet_sd_full_parity(ref_unet):
+    from adm_tpu.nn.cond_unet import CondUnet
+    from adm_tpu.utils.torch_convert import convert_cond_unet_sd
+
+    sd = {k: v.detach() for k, v in ref_unet.state_dict().items()}
+    variables = jax.tree_util.tree_map(
+        jnp.asarray, convert_cond_unet_sd(sd, MULTS, cond_net="resnet")
+    )
+
+    ours = CondUnet(
+        dim=DIM, dim_mults=MULTS, channels=1, cond_in_dim=3,
+        window_sizes1=WINDOWS, window_sizes2=WINDOWS,
+        resnet_block_groups=8, cond_net="resnet",
+        backbone_norm="frozen_bn", n_decoders=1,
+    )
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 1, RES, RES).astype(np.float32)
+    cond = rng.rand(2, 3, RES, RES).astype(np.float32)
+    t = np.array([0.5124, 0.0317], np.float32)
+
+    with torch.no_grad():
+        r1, r2 = ref_unet(
+            torch.from_numpy(x), torch.from_numpy(t), torch.from_numpy(cond)
+        )
+    j1, j2 = ours.apply(
+        variables,
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(t),
+        jnp.asarray(cond.transpose(0, 2, 3, 1)),
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(j1), r1.numpy().transpose(0, 2, 3, 1), atol=2e-3,
+        err_msg="x1 (prediction head) diverged",
+    )
+    np.testing.assert_allclose(
+        np.asarray(j2), r2.numpy().transpose(0, 2, 3, 1), atol=5e-3,
+        err_msg="x2 (analytic eps) diverged",
+    )
