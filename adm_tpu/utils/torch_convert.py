@@ -165,10 +165,25 @@ def convert_reference_checkpoint(path: str, use_ema: bool = True) -> Dict:
     else:
         sd = data["model"] if "model" in data else data
     # strip the process-level 'model.' nesting if the ckpt stores the full
-    # DDPM module (model.model.* = net weights)
-    if any(k.startswith("model.model.") for k in sd):
+    # DDPM module (model.model.* = uncond net, model.relation_layers_down.*
+    # / model.init_conv_mask.* = cond net; loose keys like eps are
+    # process-level buffers)
+    if any(k.startswith(("model.model.", "model.relation_layers_down."))
+           for k in sd):
         sd = {k[len("model."):]: v for k, v in sd.items()
               if k.startswith("model.")}
+    if any(k.startswith("relation_layers_down.") for k in sd):
+        # conditional family (unet/cond_unet_sd.py): detect the backbone
+        # kind from its signature keys and the level count from projects.*
+        if any(k.startswith("init_conv_mask.features.") for k in sd):
+            cond_net = "swin"
+        elif any(k.startswith("init_conv_mask.layer1.") for k in sd):
+            cond_net = "resnet"
+        else:
+            cond_net = "effnet"
+        n = 1 + max(int(k.split(".")[1]) for k in sd
+                    if k.startswith("projects."))
+        return convert_cond_unet_sd(sd, dim_mults=(1,) * n, cond_net=cond_net)
     return convert_dhariwal_edm(sd)
 
 

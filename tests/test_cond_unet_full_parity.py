@@ -125,3 +125,25 @@ def test_cond_unet_sd_full_parity(ref_unet):
         np.asarray(j2), r2.numpy().transpose(0, 2, 3, 1), atol=5e-3,
         err_msg="x2 (analytic eps) diverged",
     )
+
+
+def test_reference_checkpoint_dispatch_cond(ref_unet, tmp_path):
+    """convert_reference_checkpoint auto-detects a conditional trainer
+    checkpoint (train_cond_dpm.py save format: data['model'] with the
+    DDPM's 'model.' nesting) and routes to convert_cond_unet_sd."""
+    from adm_tpu.utils.torch_convert import convert_reference_checkpoint
+
+    sd = {f"model.{k}": v for k, v in ref_unet.state_dict().items()}
+    sd["eps"] = torch.tensor(1e-4)  # process-level extra key, must be ignored
+    path = tmp_path / "model-1.pt"
+    torch.save({"step": 1, "model": sd}, path)
+
+    variables = convert_reference_checkpoint(str(path), use_ema=False)
+    assert "buffers" in variables and "params" in variables
+    p = variables["params"]
+    assert "relation_down_0" in p and "init_conv_mask" in p
+    assert p["init_conv_mask"].get("Bottleneck_0"), "resnet not detected"
+    ref_w = ref_unet.state_dict()["final_conv.weight"].numpy()
+    np.testing.assert_array_equal(
+        p["final_conv"]["kernel"], ref_w.transpose(2, 3, 1, 0)
+    )
