@@ -230,6 +230,18 @@ class _GNorm(nn.Module):
             scale = self.param("scale", nn.initializers.ones, (c,))
             bias = self.param("bias", nn.initializers.zeros, (c,))
             return x * scale.astype(x.dtype) + bias.astype(x.dtype)
+        if self.mode == "batch_stats":
+            # BatchNorm2d TRAIN-mode semantics (stateless): batch statistics
+            # with the raw affine — the twin-training harness's exact match
+            # for a torch backbone in .train() (running stats only affect
+            # eval, never gradients)
+            scale = self.param("scale", nn.initializers.ones, (c,))
+            bias = self.param("bias", nn.initializers.zeros, (c,))
+            x32 = x.astype(jnp.float32)
+            mean = jnp.mean(x32, axis=(0, 1, 2), keepdims=True)
+            var = jnp.var(x32, axis=(0, 1, 2), keepdims=True)
+            return ((x32 - mean) * jax.lax.rsqrt(var + 1e-5) * scale
+                    + bias).astype(x.dtype)
         g = 32
         while c % g:
             g //= 2

@@ -22,9 +22,13 @@ def warmup_poly_schedule(
 
     def schedule(count):
         count = jnp.asarray(count, jnp.float32)
-        warm = (count + 1) / warmup_steps
         frac = jnp.clip(1.0 - (count - warmup_steps) / total_steps, 0.0, 1.0)
         decay = jnp.maximum(frac**power, floor)
+        if warmup_steps == 0:
+            # the conditional trainer's lambda has NO warmup phase
+            # (train_cond_dpm.py:183: max((1 - iter/total)^0.96, floor))
+            return base_lr * decay
+        warm = (count + 1) / warmup_steps
         ratio = jnp.where(count <= warmup_steps, warm, decay)
         return base_lr * ratio
 

@@ -122,13 +122,26 @@ def convert_swin_b(sd: Dict, depths: Sequence[int] = (2, 2, 18, 2)) -> Dict:
 # ---------------------------------------------------------------------------
 
 
-def convert_resnet101(sd: Dict, blocks: Sequence[int] = (3, 4, 23, 3)) -> Dict:
-    """Vendored resnet101 state_dict -> ResNetBackbone(norm_mode='frozen_bn')
-    params. Flax auto-names: Conv_0/_GNorm_0 stem, then Bottleneck_{k} with
-    Conv_0.._GNorm_2 (+ Conv_3/_GNorm_3 downsample)."""
+def convert_resnet101(sd: Dict, blocks: Sequence[int] = (3, 4, 23, 3),
+                      fold: bool = True) -> Dict:
+    """Vendored resnet101 state_dict -> ResNetBackbone params. Flax
+    auto-names: Conv_0/_GNorm_0 stem, then Bottleneck_{k} with
+    Conv_0.._GNorm_2 (+ Conv_3/_GNorm_3 downsample).
+
+    fold=True: running stats folded to inference affines — pair with
+    norm_mode='frozen_bn' (exact BN.eval()). fold=False: raw BN affine —
+    pair with norm_mode='batch_stats' (exact BN.train(), the twin-training
+    harness's mode)."""
+
+    def bn(prefix):
+        if fold:
+            return fold_batchnorm(sd, prefix)
+        return {"scale": _np(sd[f"{prefix}.weight"]),
+                "bias": _np(sd[f"{prefix}.bias"])}
+
     p = {
         "Conv_0": {"kernel": _conv(sd["conv1.weight"])},
-        "_GNorm_0": fold_batchnorm(sd, "bn1"),
+        "_GNorm_0": bn("bn1"),
     }
     k = 0
     for stage, n in enumerate(blocks):
@@ -137,10 +150,10 @@ def convert_resnet101(sd: Dict, blocks: Sequence[int] = (3, 4, 23, 3)) -> Dict:
             bp = {}
             for j in (1, 2, 3):
                 bp[f"Conv_{j - 1}"] = {"kernel": _conv(sd[f"{base}.conv{j}.weight"])}
-                bp[f"_GNorm_{j - 1}"] = fold_batchnorm(sd, f"{base}.bn{j}")
+                bp[f"_GNorm_{j - 1}"] = bn(f"{base}.bn{j}")
             if f"{base}.downsample.0.weight" in sd:
                 bp["Conv_3"] = {"kernel": _conv(sd[f"{base}.downsample.0.weight"])}
-                bp["_GNorm_3"] = fold_batchnorm(sd, f"{base}.downsample.1")
+                bp["_GNorm_3"] = bn(f"{base}.downsample.1")
             p[f"Bottleneck_{k}"] = bp
             k += 1
     return {"params": p}

@@ -183,7 +183,9 @@ def convert_reference_checkpoint(path: str, use_ema: bool = True) -> Dict:
             cond_net = "effnet"
         n = 1 + max(int(k.split(".")[1]) for k in sd
                     if k.startswith("projects."))
-        return convert_cond_unet_sd(sd, dim_mults=(1,) * n, cond_net=cond_net)
+        n_dec = 2 if any(k.startswith("ups2.") for k in sd) else 1
+        return convert_cond_unet_sd(sd, dim_mults=(1,) * n,
+                                    cond_net=cond_net, n_decoders=n_dec)
     return convert_dhariwal_edm(sd)
 
 
@@ -301,17 +303,22 @@ def _lin_attention(sd: Dict, prefix: str) -> Dict:
     }
 
 
-def _relation_net(sd: Dict, prefix: str, layers: int = 1) -> Dict:
+def _relation_net(sd: Dict, prefix: str, layers: int = 1,
+                  fold_bn: bool = True) -> Dict:
     """RelationNet (cond_unet_sd.py:240-283): input_conv{1,2} =
     Sequential(Conv2d 1x1, BatchNorm2d) — BN folded to the frozen affine
-    input_bn{1,2} — plus BasicAttetnionLayer(s) (q/k/v Linear, conv MLP,
-    concat conv, GroupNorm, out conv)."""
+    input_bn{1,2} (fold_bn=False: raw affine for batch-stats/train mode) —
+    plus BasicAttetnionLayer(s) (q/k/v Linear, conv MLP, concat conv,
+    GroupNorm, out conv)."""
     out = {}
     for i in (1, 2):
         out[f"input_conv{i}"] = _conv_wb(sd, f"{prefix}.input_conv{i}.0")
         # BatchNorm2d(momentum=0.03, eps=0.001) — cond_unet_sd.py:250
-        out[f"input_bn{i}"] = fold_batchnorm(
-            sd, f"{prefix}.input_conv{i}.1", eps=1e-3
+        bnp = f"{prefix}.input_conv{i}.1"
+        out[f"input_bn{i}"] = (
+            fold_batchnorm(sd, bnp, eps=1e-3) if fold_bn
+            else {"scale": np.asarray(sd[f"{bnp}.weight"]),
+                  "bias": np.asarray(sd[f"{bnp}.bias"])}
         )
     for a in range(layers):
         ap = f"{prefix}.attentions.{a}"
@@ -329,18 +336,23 @@ def _relation_net(sd: Dict, prefix: str, layers: int = 1) -> Dict:
 
 
 def convert_cond_unet_sd(
-    sd: Dict, dim_mults=(1, 2, 4, 4), cond_net: str = "swin"
+    sd: Dict, dim_mults=(1, 2, 4, 4), cond_net: str = "swin",
+    bn_mode: str = "frozen", n_decoders: int = 1,
 ) -> Dict:
-    """Reference unet/cond_unet_sd.py Unet state_dict -> CondUnet variables
-    (single-decoder family: train_cond_dpm/ldm checkpoints for saliency,
-    depth, SR, inpainting...).
+    """Reference conditional Unet state_dict -> CondUnet variables.
+
+    n_decoders=1: unet/cond_unet_sd.py (LDM conditional checkpoints);
+    n_decoders=2: unet/cond_unet.py — identical trunk plus the second
+    decoder groups (ups2/relation_layers_up2/decouple2/final_*2, the
+    image-space train_cond_dpm pairing, e.g. saliency DUTS_ddm_const_dpm).
 
     Returns the full variables dict {params, buffers} for
-    CondUnet(n_decoders=1, backbone_norm='frozen_bn'): the cond backbone
+    CondUnet(backbone_norm='frozen_bn'): the cond backbone
     ('init_conv_mask') converts via the matching backbone converter with
-    BatchNorm folded to inference affines, so use backbone_norm='frozen_bn'
-    (exact BN eval semantics). The reference hardcodes 4 projection scales
-    (cond_unet_sd.py:669-679) — len(dim_mults) must be 4.
+    BatchNorm folded to inference affines (bn_mode='batch_stats': raw
+    affines for train-mode batch statistics — the twin harness's mode).
+    The reference hardcodes 4 projection scales (cond_unet_sd.py:669-679)
+    — len(dim_mults) must be 4.
     """
     from adm_tpu.utils.backbone_convert import (
         convert_efficientnet_b7,
@@ -373,6 +385,14 @@ def convert_cond_unet_sd(
         "final_res_block": _lucid_resblock(sd, "final_res_block"),
         "final_conv": _conv_wb(sd, "final_conv"),
     }
+    if n_decoders == 2:
+        p["decouple2"] = {
+            "norm": _gn_wb(sd, "decouple2.0"),
+            "conv": _conv_wb(sd, "decouple2.1"),
+            "att": _convert_spatial_att(sd, "decouple2.2"),
+        }
+        p["final_res_block2"] = _lucid_resblock(sd, "final_res_block2")
+        p["final_conv2"] = _conv_wb(sd, "final_conv2")
     p["mid_attn"] = {"norm": {"g": np.asarray(
         sd["mid_attn.fn.norm.g"]).reshape(-1)}}
     for i in range(n_levels):
@@ -384,24 +404,31 @@ def convert_cond_unet_sd(
         p[f"down_{i}_attn_fn"] = _lin_attention(sd, f"downs.{i}.2.fn.fn")
         p[f"down_{i}_downsample"] = _conv_wb(sd, f"downs.{i}.3")
         p[f"relation_down_{i}"] = _relation_net(
-            sd, f"relation_layers_down.{i}")
-        p[f"up_{i}_block1"] = _lucid_resblock(sd, f"ups.{i}.0")
-        p[f"up_{i}_block2"] = _lucid_resblock(sd, f"ups.{i}.1")
-        p[f"up_{i}_attn"] = {"norm": {"g": np.asarray(
-            sd[f"ups.{i}.2.fn.norm.g"]).reshape(-1)}}
-        p[f"up_{i}_attn_fn"] = _lin_attention(sd, f"ups.{i}.2.fn.fn")
+            sd, f"relation_layers_down.{i}", fold_bn=bn_mode == "frozen")
         # Upsample = Sequential(nearest x2, Conv 3x3) except the last level
         # (plain Conv 3x3) — cond_unet_sd.py:335-341,752
-        up_conv = (f"ups.{i}.3.1" if f"ups.{i}.3.1.weight" in sd
-                   else f"ups.{i}.3")
-        p[f"up_{i}_upsample"] = _conv_wb(sd, up_conv)
-        p[f"relation_up_{i}"] = _relation_net(sd, f"relation_layers_up.{i}")
+        for dec, tsuf in (("", "ups"), ("2", "ups2"))[:n_decoders]:
+            up_conv = (f"{tsuf}.{i}.3.1" if f"{tsuf}.{i}.3.1.weight" in sd
+                       else f"{tsuf}.{i}.3")
+            p[f"up{dec}_{i}_block1"] = _lucid_resblock(sd, f"{tsuf}.{i}.0")
+            p[f"up{dec}_{i}_block2"] = _lucid_resblock(sd, f"{tsuf}.{i}.1")
+            p[f"up{dec}_{i}_attn"] = {"norm": {"g": np.asarray(
+                sd[f"{tsuf}.{i}.2.fn.norm.g"]).reshape(-1)}}
+            p[f"up{dec}_{i}_attn_fn"] = _lin_attention(sd, f"{tsuf}.{i}.2.fn.fn")
+            p[f"up{dec}_{i}_upsample"] = _conv_wb(sd, up_conv)
+            p[f"relation_up{dec}_{i}"] = _relation_net(
+                sd, f"relation_layers_up{dec}.{i}",
+                fold_bn=bn_mode == "frozen")
 
     bb_sd = {k[len("init_conv_mask."):]: v for k, v in sd.items()
              if k.startswith("init_conv_mask.")}
-    converter = {"resnet": convert_resnet101, "swin": convert_swin_b,
-                 "effnet": convert_efficientnet_b7}[cond_net]
-    p["init_conv_mask"] = converter(bb_sd)["params"]
+    if cond_net == "resnet":
+        p["init_conv_mask"] = convert_resnet101(
+            bb_sd, fold=bn_mode == "frozen")["params"]
+    else:
+        converter = {"swin": convert_swin_b,
+                     "effnet": convert_efficientnet_b7}[cond_net]
+        p["init_conv_mask"] = converter(bb_sd)["params"]
 
     buffers = {"time_fourier": {"W": np.asarray(sd["time_mlp.0.W"])}}
     return {"params": p, "buffers": buffers}

@@ -147,3 +147,86 @@ def test_reference_checkpoint_dispatch_cond(ref_unet, tmp_path):
     np.testing.assert_array_equal(
         p["final_conv"]["kernel"], ref_w.transpose(2, 3, 1, 0)
     )
+
+
+@pytest.fixture(scope="module")
+def ref_unet2():
+    """The 2-decoder unet/cond_unet.py Unet (image-space train_cond_dpm
+    pairing, e.g. saliency DUTS_ddm_const_dpm_114.yaml) — identical trunk
+    plus ups2/relation_layers_up2/decouple2/final_*2."""
+    import types
+
+    import _torchvision_stub as tvs
+
+    tvs.install()
+
+    def stub(name, **attrs):
+        m = sys.modules.get(name) or types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules[name] = m
+        return m
+
+    fv = stub("fvcore")
+    fv.__path__ = []
+    stub("fvcore.common")
+    stub("fvcore.common.config", CfgNode=dict)
+    stub("pytorch_lightning", LightningModule=torch.nn.Module)
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import unet.cond_unet as ref
+    from unet.resnet import resnet101 as _r101
+
+    ref.resnet101 = lambda weights=None, **k: _r101(weights=None, **k)
+
+    torch.manual_seed(0)
+    net = ref.Unet(
+        dim=DIM, dim_mults=MULTS, channels=1, cond_in_dim=3,
+        window_sizes1=[list(w) for w in WINDOWS],
+        window_sizes2=[list(w) for w in WINDOWS],
+        resnet_block_groups=8, cond_net="resnet",
+    ).eval()
+    with torch.no_grad():  # same random-init activation taming as ref_unet
+        for name, p in net.init_conv_mask.named_parameters():
+            if "conv3.weight" in name:
+                p.mul_(0.05)
+    return net
+
+
+def test_cond_unet_two_decoder_full_parity(ref_unet2):
+    from adm_tpu.nn.cond_unet import CondUnet
+    from adm_tpu.utils.torch_convert import convert_cond_unet_sd
+
+    sd = {k: v.detach() for k, v in ref_unet2.state_dict().items()}
+    variables = jax.tree_util.tree_map(
+        jnp.asarray,
+        convert_cond_unet_sd(sd, MULTS, cond_net="resnet", n_decoders=2),
+    )
+    ours = CondUnet(
+        dim=DIM, dim_mults=MULTS, channels=1, cond_in_dim=3,
+        window_sizes1=WINDOWS, window_sizes2=WINDOWS,
+        resnet_block_groups=8, cond_net="resnet",
+        backbone_norm="frozen_bn", n_decoders=2,
+    )
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 1, RES, RES).astype(np.float32)
+    cond = rng.rand(2, 3, RES, RES).astype(np.float32)
+    t = np.array([0.5124, 0.0317], np.float32)
+    with torch.no_grad():
+        r1, r2 = ref_unet2(
+            torch.from_numpy(x), torch.from_numpy(t), torch.from_numpy(cond)
+        )
+    j1, j2 = ours.apply(
+        variables,
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(t),
+        jnp.asarray(cond.transpose(0, 2, 3, 1)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(j1), r1.numpy().transpose(0, 2, 3, 1), atol=2e-3,
+        err_msg="x1 (C decoder) diverged",
+    )
+    np.testing.assert_allclose(
+        np.asarray(j2), r2.numpy().transpose(0, 2, 3, 1), atol=2e-3,
+        err_msg="x2 (noise decoder) diverged",
+    )
