@@ -202,8 +202,17 @@ def run_training(args, *, conditional: bool, latent: bool):
         train_num_steps=args.num_steps or int(train_cfg["train_num_steps"]),
         train_lr=float(train_cfg["lr"]),
         min_lr=float(train_cfg.get("min_lr", 5e-6)),
-        warmup_steps=int(train_cfg.get("warmup_iter", 5000)),
-        weight_decay=float(train_cfg.get("weight_decay", 1e-2 if latent else 1e-4)),
+        # the CONDITIONAL reference trainers have no warmup phase at all
+        # (train_cond_dpm.py:183 / train_cond_ldm.py:150 — plain poly
+        # lambda) and default weight_decay to 1e-2 (:98 / :72); the uncond
+        # trainers warm up (default 5000) with wd 1e-4
+        # (train_uncond_dpm.py:97,169-182)
+        warmup_steps=0 if conditional else int(
+            train_cfg.get("warmup_iter", 5000)
+        ),
+        weight_decay=float(
+            train_cfg.get("weight_decay", 1e-2 if conditional else 1e-4)
+        ),
         gradient_accumulate_every=int(train_cfg.get("gradient_accumulate_every", 1)),
         save_and_sample_every=int(train_cfg.get("save_and_sample_every", 10000)),
         log_freq=int(train_cfg.get("log_freq", 500)),

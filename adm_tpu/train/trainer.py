@@ -52,6 +52,31 @@ def make_optimizer(
     ), schedule
 
 
+def with_frozen_buffers(optimizer):
+    """Freeze the 'buffers' collection (e.g. GaussianFourierProjection.W in
+    the conditional/t2i nets) under any optax optimizer.
+
+    The reference registers W with requires_grad=False
+    (cond_unet_sd.py:396-405) and filters it out of AdamW and grad-clip
+    (train_cond_dpm.py:181,294); optimizing the whole flax variables tree
+    would both update W and let its gradient shift the global clip norm.
+    Only wrap when the params tree actually has a top-level 'buffers' key —
+    wrapping changes the opt-state pytree structure, and buffer-free
+    checkpoints (the flagship) must keep restoring into the plain chain."""
+
+    def labels(tree):
+        return {
+            k: jax.tree_util.tree_map(
+                lambda _: "freeze" if k == "buffers" else "train", sub
+            )
+            for k, sub in tree.items()
+        }
+
+    return optax.multi_transform(
+        {"train": optimizer, "freeze": optax.set_to_zero()}, labels
+    )
+
+
 def make_train_step(
     model,
     optimizer,
@@ -242,6 +267,8 @@ class Trainer:
             # pretrained grafts (utils/weights.py) — the reference's
             # init_from_ckpt / torchvision pretrained= equivalents
             params = params_transform(params)
+        if isinstance(params, dict) and "buffers" in params:
+            self.optimizer = with_frozen_buffers(self.optimizer)
         opt_state = self.optimizer.init(params)
         # seed state from the model's (possibly CLI-calibrated) factor; the
         # jitted step reads state.scale_factor, so the orbax-restored value

@@ -152,3 +152,38 @@ def test_run_stats_live_during_training(tiny_setup, tmp_path):
     assert seen[0]["steady_span_steps"] == 15
     # and the end-of-run stats cover the full span
     assert trainer.last_run_stats["steady_span_steps"] == 20
+
+
+def test_frozen_buffers_optimizer():
+    """The 'buffers' collection (e.g. GaussianFourierProjection.W) must be
+    excluded from AdamW, weight decay AND the global clip norm — the
+    reference registers it requires_grad=False (cond_unet_sd.py:396-405)
+    and filters it from the optimizer (train_cond_dpm.py:181,294)."""
+    import optax
+
+    from adm_tpu.train.trainer import make_optimizer, with_frozen_buffers
+
+    opt, _ = make_optimizer(1e-2, total_steps=100, warmup_steps=0,
+                            weight_decay=1e-1, clip_norm=1.0)
+    params = {"params": {"w": jnp.ones((4,))},
+              "buffers": {"W": jnp.full((4,), 3.0)}}
+    wrapped = with_frozen_buffers(opt)
+    st = wrapped.init(params)
+    # a huge buffer grad must not shift the clip norm of the real params
+    grads = {"params": {"w": jnp.full((4,), 0.5)},
+             "buffers": {"W": jnp.full((4,), 1e6)}}
+    updates, st = wrapped.update(grads, st, params)
+    new = optax.apply_updates(params, updates)
+    np.testing.assert_array_equal(new["buffers"]["W"], params["buffers"]["W"])
+    assert float(jnp.abs(new["params"]["w"] - 1.0).max()) > 0
+
+    # reference check: identical step from an UNWRAPPED optimizer fed only
+    # the trainable leaves (the torch filter(requires_grad) semantics)
+    opt2, _ = make_optimizer(1e-2, total_steps=100, warmup_steps=0,
+                             weight_decay=1e-1, clip_norm=1.0)
+    st2 = opt2.init({"params": params["params"]})
+    up2, _ = opt2.update({"params": grads["params"]}, st2,
+                         {"params": params["params"]})
+    ref = optax.apply_updates({"params": params["params"]}, up2)
+    np.testing.assert_allclose(new["params"]["w"], ref["params"]["w"],
+                               rtol=1e-6)
