@@ -173,6 +173,42 @@ def main():
     print(json.dumps(result))
 
 
+def wait_for_axon_relay(max_wait_s: float = 3600.0, poll_s: float = 30.0):
+    """Bounded wait for the axon loopback relay before first device use.
+
+    The relay (:8083, sandbox infrastructure) can be down for hours
+    (measured 2026-08-17 20:05-23:40+); every backend init then burns
+    ~25 min before failing UNAVAILABLE. Probing the port first turns that
+    into a cheap poll, and waiting (bounded) lets an unattended driver
+    bench survive an outage that ends mid-window. Only engages when the
+    axon plugin is present (a CPU-only box has no relay and no need).
+    """
+    import socket
+    import sys
+
+    if not Path("/root/.axon_site/axon").exists():
+        return
+    deadline = time.monotonic() + max_wait_s
+    warned = False
+    while time.monotonic() < deadline:
+        try:
+            with socket.create_connection(("127.0.0.1", 8083), timeout=5):
+                if warned:
+                    print("# bench: relay is back", file=sys.stderr, flush=True)
+                return
+        except OSError:
+            if not warned:
+                print("# bench: axon relay :8083 down — waiting up to "
+                      f"{max_wait_s:.0f}s before attempting backend init",
+                      file=sys.stderr, flush=True)
+                warned = True
+            time.sleep(poll_s)
+    print("# bench: relay still down after the wait budget; attempting "
+          "anyway", file=sys.stderr, flush=True)
+
+
 if __name__ == "__main__":
+    wait_for_axon_relay(
+        float(os.environ.get("ADM_TPU_BENCH_RELAY_WAIT", "3600")))
     with quiesce_chip():
         main()
