@@ -12,10 +12,8 @@ BASELINE.md) so vs_baseline = ours / (3 * A100_REF).
 
 from __future__ import annotations
 
-import contextlib
 import json
 import os
-import signal
 import time
 from pathlib import Path
 
@@ -23,61 +21,21 @@ import jax
 import jax.numpy as jnp
 
 
-@contextlib.contextmanager
 def quiesce_chip():
-    """SIGSTOP any live long-run trainer for the duration of the bench.
+    """Quiet the chip for the bench window (VERDICT r3 weak #2).
 
-    BENCH_r03 was measured while the watchdog's long run held the same v5e
-    (402 vs 411 img/s quiet-chip control, VERDICT r3 weak #2). The trainer
-    writes its REAL pid to results/long_run/run.pid; pause it while timing
-    and resume after. tools/watchdog.py recognizes the 'T' process state as
-    paused, never stalled. The pid is verified to still be a python running
-    train_long.py before signalling (stale pid files must not stop an
-    unrelated process)."""
-    pid_file = Path(__file__).resolve().parent / "results/long_run/run.pid"
-    pid = None
-    try:
-        cand = int(pid_file.read_text().strip())
-        cmdline = Path(f"/proc/{cand}/cmdline").read_bytes().decode()
-        if "train_long.py" in cmdline and "python" in cmdline:
-            pid = cand
-    except (OSError, ValueError):
-        pid = None
+    Shared protocol lives in tools/quiet_chip.py: a STEADY long-run
+    trainer is SIGSTOP'd (heartbeat kept fresh) and resumed after; a
+    MID-COMPILE one is killed with its watchdog frozen (pausing a
+    mid-compile trainer wedges the axon compile service for new clients
+    — measured 2026-08-17) and the watchdog relaunches it from the
+    newest milestone when thawed."""
     import sys
-    import threading
 
-    stop = threading.Event()
+    sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
+    from quiet_chip import quiesce
 
-    def _keepalive():
-        # while paused, keep the heartbeat fresh so a watchdog from BEFORE
-        # the 'T'-state tolerance fix never judges the paused (healthy)
-        # trainer stalled. Only runs while the trainer is SIGSTOP'd, so
-        # there is no write race with the trainer's own heartbeats.
-        hb = pid_file.parent / "heartbeat"
-        while not stop.wait(60.0):
-            try:
-                os.utime(hb)
-            except OSError:
-                pass
-
-    ka = None
-    if pid is not None:
-        os.kill(pid, signal.SIGSTOP)
-        print(f"# bench: paused long-run trainer pid {pid}", file=sys.stderr,
-              flush=True)
-        ka = threading.Thread(target=_keepalive, daemon=True)
-        ka.start()
-    try:
-        yield
-    finally:
-        if pid is not None:
-            stop.set()
-            try:
-                os.kill(pid, signal.SIGCONT)
-                print(f"# bench: resumed long-run trainer pid {pid}",
-                      file=sys.stderr, flush=True)
-            except OSError:
-                pass
+    return quiesce()
 
 # Estimated reference throughput: torch DDP fp16, two-decoder DhariwalUNet
 # (~112M params) at 32x32, per A100 chip. See BASELINE.md for derivation.
