@@ -169,3 +169,55 @@ def test_no_trainer_is_a_noop(tmp_path):
     with quiesce(tmp_path, log=logs.append):
         pass
     assert logs == []
+
+
+def test_sigterm_mid_window_resumes_trainer_and_kills_child(tmp_path):
+    """`timeout N quiet_chip.py …` SIGTERMs the quiescer, not the wrapped
+    command — the trainer must still get SIGCONT and the wrapped child
+    must not be orphaned (code-review r4 finding)."""
+    import signal as _signal
+
+    trainer = _spawn_trainer(tmp_path)
+    try:
+        time.sleep(0.2)
+        (tmp_path / "heartbeat").touch()  # steady -> SIGSTOP path
+        qc_script = Path(__file__).resolve().parent.parent / "tools/quiet_chip.py"
+        env = dict(os.environ, ADM_TPU_QUIET_RESULTS=str(tmp_path))
+        qc = subprocess.Popen(
+            [sys.executable, "-S", str(qc_script),
+             sys.executable, "-S", "-c", "import time; time.sleep(300)"],
+            env=env,
+        )
+        # wait until the trainer is actually paused (window is open)
+        deadline = time.time() + 20
+        while _state(trainer.pid) != "T" and time.time() < deadline:
+            time.sleep(0.1)
+        assert _state(trainer.pid) == "T"
+        wrapped = _wrapped_child_of(qc.pid)
+        qc.send_signal(_signal.SIGTERM)
+        assert qc.wait(timeout=30) == 128 + _signal.SIGTERM
+        # trainer resumed, wrapped child gone
+        deadline = time.time() + 10
+        while _state(trainer.pid) == "T" and time.time() < deadline:
+            time.sleep(0.1)
+        assert _state(trainer.pid) in ("S", "R")
+        if wrapped is not None:
+            deadline = time.time() + 10
+            while _state(wrapped) not in ("Z", "X") and time.time() < deadline:
+                time.sleep(0.1)
+            assert _state(wrapped) in ("Z", "X")
+    finally:
+        trainer.kill()
+        trainer.wait()
+
+
+def _wrapped_child_of(pid: int) -> int | None:
+    """First child of pid (via /proc children), None if not yet spawned."""
+    try:
+        for task in Path(f"/proc/{pid}/task").iterdir():
+            kids = (task / "children").read_text().split()
+            if kids:
+                return int(kids[0])
+    except (OSError, ValueError):
+        pass
+    return None

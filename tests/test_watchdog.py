@@ -137,3 +137,38 @@ def test_run_watched_tolerates_sigstop_pause(tmp_path):
     assert rc == 0
     assert (tmp_path / "done").read_text() == "completed"
     assert not any("STALL" in l for l in logs)
+
+
+def test_run_watched_bounds_an_orphaned_pause(tmp_path):
+    """A quiescer that dies without SIGCONT must not disable stall
+    recovery forever (code-review r4): past max_pause the watchdog
+    resumes the child itself and goes back to heartbeat aging."""
+    script = tmp_path / "pause_child.py"
+    script.write_text(PAUSE_CHILD)
+    logs = []
+    pid_file = tmp_path / "child.pid"
+
+    def orphaned_pauser():
+        deadline = time.time() + 30
+        while not pid_file.exists():
+            if time.time() > deadline:
+                return
+            time.sleep(0.05)
+        os.kill(int(pid_file.read_text()), signal.SIGSTOP)
+        # no SIGCONT — the "quiescer" is gone
+
+    t = threading.Thread(target=orphaned_pauser)
+    t.start()
+
+    def make_cmd(resume):
+        return [sys.executable, "-S", str(script), str(tmp_path)]
+
+    rc = run_watched(
+        make_cmd, tmp_path,
+        timeout=30.0, poll=0.2, grace=60.0, max_restarts=1,
+        max_pause=1.0, log=logs.append,
+    )
+    t.join()
+    assert rc == 0
+    assert (tmp_path / "done").read_text() == "completed"
+    assert any("pause exceeded" in l for l in logs)

@@ -35,7 +35,17 @@ def main():
     best = min((m for m in trend if "proxy_fid" in m),
                key=lambda m: m["proxy_fid"], default={})
     protocol = fid_eval.get("proxy_fid", fid_eval.get("fid"))
-    final = protocol if protocol is not None else last.get("proxy_fid")
+    # a protocol pass only speaks for the gate if it was computed AT the
+    # trend's final step — an fid_eval.json left over from an earlier
+    # milestone (e.g. the mid-round queue pass) must not be judged as if
+    # it were the end-of-run number (code-review r4 finding)
+    protocol_step = fid_eval.get("step") or fid_eval.get("milestone", 0) * 2000
+    protocol_stale = bool(
+        protocol is not None and last.get("step") is not None
+        and protocol_step != last["step"]
+    )
+    final = (protocol if protocol is not None and not protocol_stale
+             else last.get("proxy_fid"))
 
     noise = anchors.get("noise_anchor", anchors.get("anchor_noise"))
     heldout = anchors.get("heldout_anchor", anchors.get("anchor_heldout"))
@@ -48,6 +58,8 @@ def main():
         "final_trend_proxy_fid": last.get("proxy_fid"),
         "best_trend": best,
         "protocol_pass_proxy_fid": protocol,
+        "protocol_pass_step": protocol_step if protocol is not None else None,
+        "protocol_pass_stale": protocol_stale,
         "value_judged": final,
         "anchor_noise": noise,
         "anchor_heldout": heldout,

@@ -137,7 +137,11 @@ def _kill_group(pid: int, log) -> None:
 @contextlib.contextmanager
 def quiesce(results_dir: Path | None = None, log=None):
     """Context manager: quiet chip inside the block (see module docstring)."""
-    results_dir = Path(results_dir or DEFAULT_RESULTS)
+    results_dir = Path(
+        results_dir
+        or os.environ.get("ADM_TPU_QUIET_RESULTS")  # tests point elsewhere
+        or DEFAULT_RESULTS
+    )
     if log is None:
         log = lambda msg: print(msg, file=sys.stderr, flush=True)
     pid = _trainer_pid(results_dir)
@@ -195,8 +199,28 @@ def main() -> int:
     if len(sys.argv) < 2:
         print(__doc__, file=sys.stderr)
         return 2
+    # `timeout N python tools/quiet_chip.py …` SIGTERMs US, not the wrapped
+    # command. Python's default TERM handler would exit without unwinding —
+    # leaving the trainer SIGSTOP'd (or the watchdog frozen) forever and
+    # the wrapped chip command orphaned (code-review r4). Convert TERM/INT
+    # into an exception so quiesce()'s finally runs, and pass the signal on
+    # to the child so the chip is actually freed.
+    proc: subprocess.Popen | None = None
+
+    def _on_signal(signum, frame):
+        if proc is not None and proc.poll() is None:
+            proc.terminate()
+            try:
+                proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+        raise SystemExit(128 + signum)
+
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
     with quiesce():
-        return subprocess.call(sys.argv[1:])
+        proc = subprocess.Popen(sys.argv[1:])
+        return proc.wait()
 
 
 if __name__ == "__main__":

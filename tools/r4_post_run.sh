@@ -9,8 +9,27 @@ set -u
 cd "$(dirname "$0")/.."
 LOG=results/r4_queue.log
 until grep -q "\[r4_relaunch\] watchdog pid" "$LOG"; do sleep 120; done
-WPID=$(cat results/long_run/watchdog.pid)
+# watchdog.pid is written by watchdog.py itself (authoritative); verify it
+# is a live watchdog before monitoring — a bogus pid would fall through
+# instantly and run the chip-heavy gate against a still-training chip
+WPID=0
+for _ in $(seq 60); do
+  WPID=$(cat results/long_run/watchdog.pid 2>/dev/null || echo 0)
+  if [ "$WPID" -gt 0 ] && grep -q "watchdog\.py" /proc/$WPID/cmdline 2>/dev/null; then
+    break
+  fi
+  WPID=0; sleep 5
+done
+if [ "$WPID" -eq 0 ]; then
+  echo "[r4_post_run] ERROR: no live watchdog pid; aborting gate $(date)" >> "$LOG"
+  exit 1
+fi
 while kill -0 "$WPID" 2>/dev/null; do sleep 60; done
+# a SIGKILLed watchdog can leave its trainer running — wait for it too
+TR_PID=$(cat results/long_run/run.pid 2>/dev/null || echo 0)
+while [ "$TR_PID" -gt 0 ] && grep -q train_long /proc/$TR_PID/cmdline 2>/dev/null; do
+  sleep 60
+done
 echo "[r4_post_run] watchdog $WPID exited, chip free $(date)" >> "$LOG"
 
 FINAL_MS=$(ls -d results/long_run/model-* 2>/dev/null | sed 's/.*model-//' | sort -n | tail -1)

@@ -63,12 +63,17 @@ def run_watched(
     poll: float = 10.0,
     grace: float = 1800.0,
     max_restarts: int = 20,
+    max_pause: float = 7200.0,
     log=print,
 ) -> int:
     """Run make_cmd(resume_milestone) under stall supervision.
 
     grace: allowance before the FIRST heartbeat of each launch (backend init
     ~5 min + train-step compile can exceed 10 min on the tunneled backend).
+    max_pause: longest tolerated SIGSTOP window. A quiescer (bench.py /
+    quiet_chip) pauses for minutes; a quiescer that died without SIGCONT
+    would otherwise disable stall recovery FOREVER (code-review r4) — past
+    the cap the child is resumed and judged by heartbeat age as usual.
     Returns the final exit code (0 = child completed normally).
     """
     heartbeat = results_dir / "heartbeat"
@@ -89,11 +94,20 @@ def run_watched(
                 break
             # a SIGSTOP'd child (bench.py quiescing the chip) is paused,
             # not stalled: accrue slack so the aged heartbeat is forgiven
-            # after SIGCONT, until a fresh heartbeat resets it
+            # after SIGCONT, until a fresh heartbeat resets it. Bounded:
+            # past max_pause the quiescer is presumed dead — SIGCONT the
+            # child ourselves and fall through to normal heartbeat aging.
             if _proc_state(child.pid) == "T":
-                pause_slack += poll
-                time.sleep(poll)
-                continue
+                if pause_slack < max_pause:
+                    pause_slack += poll
+                    time.sleep(poll)
+                    continue
+                log(f"[watchdog] pause exceeded {max_pause:.0f}s — "
+                    f"resuming pid {child.pid} (quiescer presumed dead)")
+                try:
+                    os.kill(child.pid, signal.SIGCONT)
+                except OSError:
+                    pass
             # stat ONCE — the file can vanish between two calls (results
             # dir cleanup), and the supervisor must never die of that
             try:
@@ -146,6 +160,11 @@ def main():
         grace = float(sys.argv[sys.argv.index("--grace") + 1])
     results = Path("results/long_run")
     results.mkdir(parents=True, exist_ok=True)
+    # authoritative pidfile: `setsid nohup python … & echo $!` records the
+    # setsid wrapper's pid when setsid forks (CLAUDE.md pitfall) — any
+    # launcher-written value is overwritten here with the REAL watchdog pid
+    # so `kill -0 $(cat watchdog.pid)` loops monitor the right process
+    (results / "watchdog.pid").write_text(str(os.getpid()))
     here = Path(__file__).resolve().parent
 
     def make_cmd(resume: int) -> List[str]:
