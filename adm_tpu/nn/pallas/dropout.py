@@ -52,11 +52,22 @@ _ROW_BLOCK = 1024
 _seen_layouts: dict = {}
 
 
-def _layout_sentry(shape, rate, spec) -> None:
+def _layout_sentry(mesh, shape, rate, spec) -> None:
+    """Cross-checks the layouts seen per (mesh, shape, rate) site signature.
+
+    The mesh is part of the key (code-review r4): a second PROGRAM
+    legitimately compiled over a different mesh (dp step then dp x tp
+    step) must not trip the fwd/bwd-divergence alarm — within one
+    program the mesh is fixed, so fwd and bwd still share a key.
+    Residual limitation: two different programs on the SAME mesh whose
+    dropout inputs are sharded differently still collide (the callback
+    has no program identity); call reset_layout_sentry() between such
+    compiles, or disable hw_dropout for one of them.
+    """
     import logging
     import os
 
-    key = (tuple(shape), rate)
+    key = (mesh, tuple(shape), rate)
     spec = tuple(spec) if spec is not None else None
     prev = _seen_layouts.setdefault(key, spec)
     if prev != spec:
@@ -65,11 +76,18 @@ def _layout_sentry(shape, rate, spec) -> None:
             f"{prev} vs {spec} seen for the same site signature — if these "
             "are the fwd/bwd of one dropout site, the regenerated backward "
             "mask DIVERGES from the forward mask. Use nn.Dropout "
-            "(use_hw_dropout=False) for this config."
+            "(use_hw_dropout=False) for this config, or "
+            "reset_layout_sentry() if these are two separate programs "
+            "sharing a mesh."
         )
         if os.environ.get("ADM_TPU_STRICT_DROPOUT"):
             raise RuntimeError(msg)
         logging.getLogger("adm_tpu").warning(msg)
+
+
+def reset_layout_sentry() -> None:
+    """Forget recorded layouts (between deliberately different programs)."""
+    _seen_layouts.clear()
 
 
 def _dropout_kernel(seed_ref, x_ref, o_ref, *, threshold: int, inv_keep: float):
@@ -168,7 +186,7 @@ def _partitioned_apply(rate: float, ndim: int):
 
     def partition(mesh, arg_shapes, result_shape):
         sh = _vsh(mesh, arg_shapes[0].sharding)
-        _layout_sentry(arg_shapes[0].shape, rate, sh.spec)
+        _layout_sentry(mesh, arg_shapes[0].shape, rate, sh.spec)
         seed_sh = NamedSharding(mesh, P(None))
         return mesh, functools.partial(_kernel_apply, rate), sh, (sh, seed_sh)
 

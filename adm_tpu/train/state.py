@@ -50,11 +50,17 @@ class TrainState:
 
 
 def ema_decay(step: jnp.ndarray, cfg: EmaConfig) -> jnp.ndarray:
-    """Warmup decay schedule (ddm/ema.py:132-139); 0 before the gate."""
+    """Warmup decay schedule (ddm/ema.py:132-139); 0 before the gate.
+
+    The reference returns 0 for epoch <= 0 BEFORE the min_value clamp
+    (get_current_decay's early return), so the epoch-0 call must yield 0
+    even when min_value > 0 — gating on `epoch <= 0`, not on the clipped
+    value (code-review r4; identical for the shipped min_value=0 configs).
+    """
     epoch = jnp.maximum(step.astype(jnp.float32) - cfg.update_after_step - 1, 0.0)
     value = 1.0 - (1.0 + epoch / cfg.inv_gamma) ** (-cfg.power)
     value = jnp.clip(value, cfg.min_value, cfg.beta)
-    return jnp.where(step <= cfg.update_after_step, 0.0, value)
+    return jnp.where(epoch <= 0.0, 0.0, value)
 
 
 def ema_update(state: TrainState, cfg: EmaConfig) -> Any:

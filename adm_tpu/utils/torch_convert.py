@@ -360,6 +360,25 @@ def convert_cond_unet_sd(
         convert_swin_b,
     )
 
+    # validate up front: a typo'd mode must not silently fall into the
+    # batch-stats branch (code-review r4). 'frozen_bn' — the CondUnet
+    # backbone_norm spelling — is accepted as an alias of 'frozen'.
+    if bn_mode == "frozen_bn":
+        bn_mode = "frozen"
+    if bn_mode not in ("frozen", "batch_stats"):
+        raise ValueError(
+            f"bn_mode must be 'frozen' (alias 'frozen_bn') or "
+            f"'batch_stats', got {bn_mode!r}"
+        )
+    if bn_mode == "batch_stats" and cond_net == "effnet":
+        raise NotImplementedError(
+            "convert_efficientnet_b7 always folds running stats into "
+            "inference affines; feeding folded affines to train-mode batch "
+            "statistics would double-normalize — use bn_mode='frozen' for "
+            "the effnet backbone (swin has no BatchNorm, resnet supports "
+            "both modes)"
+        )
+
     n_levels = len(dim_mults)
     if n_levels != 4:
         raise ValueError(

@@ -230,3 +230,16 @@ def test_cond_unet_two_decoder_full_parity(ref_unet2):
         np.asarray(j2), r2.numpy().transpose(0, 2, 3, 1), atol=2e-3,
         err_msg="x2 (noise decoder) diverged",
     )
+
+
+def test_convert_bn_mode_is_validated():
+    """A typo'd bn_mode must raise, not silently convert in the wrong BN
+    regime; effnet + batch_stats would double-normalize (folded affines
+    into train-mode batch statistics) and must refuse (code-review r4).
+    Validation happens before the state_dict is touched."""
+    from adm_tpu.utils.torch_convert import convert_cond_unet_sd
+
+    with pytest.raises(ValueError, match="bn_mode"):
+        convert_cond_unet_sd({}, bn_mode="fozen")
+    with pytest.raises(NotImplementedError, match="double-normalize"):
+        convert_cond_unet_sd({}, bn_mode="batch_stats", cond_net="effnet")

@@ -8,6 +8,7 @@ keep mask from the key alone, 1/(1-rate) scaling, fwd/bwd mask identity.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from adm_tpu.nn.pallas.dropout import hw_dropout
 
@@ -91,3 +92,24 @@ def test_vjp_mask_consistency_under_model_sharding(rng):
     mask = np.asarray(y) != 0.0
     expect = mask.astype(np.float32) / 0.7
     np.testing.assert_allclose(np.asarray(grad), expect, rtol=1e-6)
+
+
+def test_layout_sentry_is_mesh_scoped(monkeypatch):
+    """Two programs on DIFFERENT meshes sharing (shape, rate) are not a
+    fwd/bwd divergence (code-review r4); same-mesh spec changes still
+    trip the alarm, and reset_layout_sentry() clears the record."""
+    from adm_tpu.nn.pallas.dropout import (
+        _layout_sentry,
+        reset_layout_sentry,
+    )
+
+    reset_layout_sentry()
+    monkeypatch.setenv("ADM_TPU_STRICT_DROPOUT", "1")
+    m1, m2 = object(), object()  # sentry only needs hashable mesh keys
+    _layout_sentry(m1, (8, 16), 0.1, ("data", None))
+    _layout_sentry(m2, (8, 16), 0.1, (None, "model"))  # ok: other mesh
+    _layout_sentry(m1, (8, 16), 0.1, ("data", None))   # ok: same layout
+    with pytest.raises(RuntimeError, match="layout mismatch"):
+        _layout_sentry(m1, (8, 16), 0.1, (None, "model"))
+    reset_layout_sentry()
+    _layout_sentry(m1, (8, 16), 0.1, (None, "model"))  # fresh record: ok
