@@ -32,6 +32,12 @@ def parse_args():
         "--rk45", action="store_true",
         help="use the adaptive probability-flow ODE sampler (on-device RK45)",
     )
+    p.add_argument(
+        "--encoder-reuse", type=int, default=1, metavar="K",
+        help="run the UNet encoder every K-th denoising step, decoders "
+             "only in between (encoder propagation, arXiv 2312.09608); "
+             "1 = exact reference sampler",
+    )
     return p.parse_args()
 
 
@@ -82,7 +88,9 @@ def main():
         sample = jax.jit(_rk45)
     else:
         sample = jax.jit(
-            lambda p, k: model.sample(p, k, batch_size=batch_size, unnormalize=True)
+            lambda p, k: model.sample(p, k, batch_size=batch_size,
+                                      unnormalize=True,
+                                      encoder_reuse=args.encoder_reuse)
         )
     batch_num = math.ceil(sample_num / batch_size)
     written = 0

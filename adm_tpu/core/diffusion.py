@@ -273,6 +273,19 @@ class DDPM:
 
         return fn
 
+    def _enc_dec_fns(self, params: Any):
+        """(encode_fn, decode_fn) for encoder-propagation sampling
+        ("Faster Diffusion", arXiv 2312.09608 — see sampling.py). Only the
+        unconditional EDMPrecond path supports the split today."""
+
+        def enc(x, t):
+            return self.net.apply(params, x, t, mode="encode")
+
+        def dec(x, t, cache):
+            return self.net.apply(params, x, t, mode="decode", cache=cache)
+
+        return enc, dec
+
     def sample(
         self,
         params: Any,
@@ -283,6 +296,7 @@ class DDPM:
         unnormalize: bool = True,
         init_noise: Optional[Array] = None,
         ref: Optional[Array] = None,
+        encoder_reuse: int = 1,
     ) -> Array:
         h, w = self.image_size
         if cond is not None:
@@ -316,6 +330,16 @@ class DDPM:
             # linear always routes to the stochastic/euler sampler — the
             # reference ddm_linear ships no deterministic path
             # (ddm/ddm_linear.py:259-271: both sample() branches are euler)
+            enc_kw = {}
+            if encoder_reuse > 1:
+                if cond is not None:
+                    raise NotImplementedError(
+                        "encoder_reuse supports the unconditional "
+                        "EDMPrecond path only"
+                    )
+                enc, dec = self._enc_dec_fns(params)
+                enc_kw = dict(encoder_reuse=encoder_reuse,
+                              encode_fn=enc, decode_fn=dec)
             return sampling.sample_deterministic(
                 self.process,
                 fn,
@@ -326,6 +350,7 @@ class DDPM:
                 scale_input=self.scale_input,
                 unnormalize=unnormalize,
                 init_noise=init_noise,
+                **enc_kw,
             )
         # image-space sample_fn_s uses the quadratic (sigma^2-linear) grid
         # (ddm_const.py:384-388); only the linear process keeps the uniform

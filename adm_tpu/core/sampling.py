@@ -41,6 +41,9 @@ def sample_deterministic(
     unnormalize: bool = True,
     final_clip: bool = True,
     init_noise: Optional[Array] = None,
+    encoder_reuse: int = 1,
+    encode_fn: Optional[Callable] = None,
+    decode_fn: Optional[Callable] = None,
 ) -> Array:
     """Deterministic few-step sampler (reference `sample_fn_d`).
 
@@ -50,6 +53,13 @@ def sample_deterministic(
     `init_noise` (unit std) overrides the PRNG draw — the sampler's ONLY
     randomness — enabling bit-matched samples against other frameworks
     (the seed-parity protocol in BASELINE.md).
+
+    `encoder_reuse=k > 1` enables encoder propagation ("Faster Diffusion",
+    arXiv 2312.09608, PAPERS.md): the UNet encoder runs only every k-th
+    step; in between, the decoders run over the cached (bottleneck, skips)
+    with the time embedding recomputed for the current step. Requires
+    `encode_fn(x, t) -> cache` and `decode_fn(x, t, cache) -> (drift,
+    noise)` (see DDPM.sample). k=1 is bit-identical to the plain path.
     """
     t_steps = process.t_steps(n_steps)
     noise0 = (
@@ -61,15 +71,44 @@ def sample_deterministic(
     batch = shape[0]
     clip = scale_input if clip_x_start else None
 
-    def body(x, ts):
-        t_cur, t_next = ts
-        tb = jnp.full((batch,), t_cur, jnp.float32)
-        drift, noise = model_fn(x, tb)
-        x = process.deterministic_step(x, drift, noise, t_cur, t_next, clip=clip)
-        return x, None
+    if encoder_reuse > 1:
+        if encode_fn is None or decode_fn is None:
+            raise ValueError(
+                "encoder_reuse > 1 needs encode_fn and decode_fn"
+            )
+        cache0 = encode_fn(x, jnp.full((batch,), t_steps[0], jnp.float32))
 
-    pairs = jnp.stack([t_steps[:-1], t_steps[1:]], axis=-1)
-    x, _ = jax.lax.scan(body, x, pairs)
+        def body(carry, inp):
+            x, cache = carry
+            i, t_cur, t_next = inp
+            tb = jnp.full((batch,), t_cur, jnp.float32)
+            cache = jax.lax.cond(
+                (i % encoder_reuse == 0) & (i > 0),
+                lambda op: encode_fn(op[0], op[1]),
+                lambda op: op[2],
+                (x, tb, cache),
+            )
+            drift, noise = decode_fn(x, tb, cache)
+            x = process.deterministic_step(
+                x, drift, noise, t_cur, t_next, clip=clip
+            )
+            return (x, cache), None
+
+        idx = jnp.arange(n_steps, dtype=jnp.int32)
+        triples = (idx, t_steps[:-1], t_steps[1:])
+        (x, _), _ = jax.lax.scan(body, (x, cache0), triples)
+    else:
+        def body(x, ts):
+            t_cur, t_next = ts
+            tb = jnp.full((batch,), t_cur, jnp.float32)
+            drift, noise = model_fn(x, tb)
+            x = process.deterministic_step(
+                x, drift, noise, t_cur, t_next, clip=clip
+            )
+            return x, None
+
+        pairs = jnp.stack([t_steps[:-1], t_steps[1:]], axis=-1)
+        x, _ = jax.lax.scan(body, x, pairs)
 
     if final_clip:
         x = jnp.clip(x, -scale_input, scale_input)

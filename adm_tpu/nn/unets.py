@@ -101,7 +101,19 @@ class DhariwalUNet(nn.Module):
         augment_labels: Optional[Array] = None,
         *,
         deterministic: bool = True,
+        mode: str = "full",
+        cache: Optional[Tuple[Array, Tuple[Array, ...]]] = None,
     ) -> Tuple[Array, ...]:
+        """mode: 'full' (default) runs encoder+decoders; 'encode' returns
+        the (bottleneck, skips) cache; 'decode' consumes a cache instead of
+        running the encoder — the encoder-propagation sampler trick of
+        "Faster Diffusion" (arXiv 2312.09608, PAPERS.md): adjacent
+        denoising steps change encoder features little, so the sampler can
+        re-encode every k-th step and run decoder-only in between (the
+        time embedding is always recomputed for the CURRENT step). All
+        modes share parameters (explicit module names); encode+decode at
+        one step is bit-identical to 'full'."""
+        assert mode in ("full", "encode", "decode"), mode
         emb_channels = self.model_channels * self.channel_mult_emb
         init = dict(
             init_mode="kaiming_uniform",
@@ -164,29 +176,36 @@ class DhariwalUNet(nn.Module):
         x = x.astype(self.dtype)
 
         # ---- encoder (uncond_unet.py:483-496,559-564) -------------------
-        skips = []
-        cout = 0
-        for level, mult in enumerate(self.channel_mult):
-            res = self.img_resolution >> level
-            cout = self._width(self.model_channels * mult)
-            if level == 0:
-                x = Conv2d(
-                    cout, kernel=3, dtype=self.dtype, name=f"enc_{res}_conv", **init
-                )(x)
-                skips.append(x)
-            else:
-                x = Block(
-                    x.shape[-1], down=True, name=f"enc_{res}_down", **block_kw
-                )(x, emb, deterministic)
-                skips.append(x)
-            for idx in range(self.num_blocks):
-                x = Block(
-                    cout,
-                    attention=(res in self.attn_resolutions),
-                    name=f"enc_{res}_block{idx}",
-                    **block_kw,
-                )(x, emb, deterministic)
-                skips.append(x)
+        if mode == "decode":
+            x, skips = cache[0], list(cache[1])
+        else:
+            skips = []
+            for level, mult in enumerate(self.channel_mult):
+                res = self.img_resolution >> level
+                cout = self._width(self.model_channels * mult)
+                if level == 0:
+                    x = Conv2d(
+                        cout, kernel=3, dtype=self.dtype,
+                        name=f"enc_{res}_conv", **init
+                    )(x)
+                    skips.append(x)
+                else:
+                    x = Block(
+                        x.shape[-1], down=True, name=f"enc_{res}_down",
+                        **block_kw
+                    )(x, emb, deterministic)
+                    skips.append(x)
+                for idx in range(self.num_blocks):
+                    x = Block(
+                        cout,
+                        attention=(res in self.attn_resolutions),
+                        name=f"enc_{res}_block{idx}",
+                        **block_kw,
+                    )(x, emb, deterministic)
+                    skips.append(x)
+            if mode == "encode":
+                return x, tuple(skips)
+        cout = x.shape[-1]
 
         # ---- decoupling (uncond_unet.py:500-507,566-567) ----------------
         outs = []
@@ -500,7 +519,16 @@ class EDMPrecond(nn.Module):
         augment_labels: Optional[Array] = None,
         *,
         deterministic: bool = True,
+        mode: str = "full",
+        cache=None,
     ) -> Tuple[Array, Array]:
+        """mode='encode' returns the inner UNet's (bottleneck, skips) cache
+        for the c_in-scaled input; mode='decode' runs decoders-only over
+        `cache`, with the time embedding and skip/out combination computed
+        from the CURRENT (x, sigma) — the encoder-propagation sampler
+        ("Faster Diffusion", arXiv 2312.09608). encode+decode at one step
+        is bit-identical to 'full'. Requires model_type='DhariwalUNet'."""
+        assert mode in ("full", "encode", "decode"), mode
         x = x.astype(jnp.float32)
         sigma = jnp.asarray(sigma, jnp.float32)
         if sigma.ndim == 0:
@@ -519,13 +547,17 @@ class EDMPrecond(nn.Module):
             name="model",
             **kwargs,
         )
+        mode_kw = {} if mode == "full" else {"mode": mode, "cache": cache}
         outs = model(
             (coeffs["c_in"] * x),
             coeffs["c_noise"].reshape(-1),
             class_labels=class_labels,
             augment_labels=augment_labels,
             deterministic=deterministic,
+            **mode_kw,
         )
+        if mode == "encode":
+            return outs  # (bottleneck, skips) cache
         f_x = outs[0].astype(jnp.float32)
         f_y = outs[1].astype(jnp.float32) if self.n_decoders == 2 else None
 
