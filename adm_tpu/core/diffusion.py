@@ -273,6 +273,29 @@ class DDPM:
 
         return fn
 
+    def _cond_cached_fn(self, params: Any, cond: Optional[Array], shape):
+        """Sampling model_fn with the cond-only backbone precomputed ONCE.
+
+        CondUnet's backbone + per-level projections depend only on `cond`,
+        which is constant across the sampling loop — hoisting them out of
+        the scan is EXACT (bit-identical to per-step recomputation; the
+        cached values are scan-invariant so XLA evaluates them once per
+        sample() call). Falls back to the plain per-step fn for nets
+        without `supports_cond_cache` (e.g. the t2i UNet, whose text
+        context already enters per-step as plain operands)."""
+        if cond is None or not getattr(self.net, "supports_cond_cache", False):
+            return self._model_fn(params, cond)
+        zeros = jnp.zeros(shape, jnp.float32)
+        t_dummy = jnp.ones((shape[0],), jnp.float32)
+        cache = self.net.apply(params, zeros, t_dummy, cond,
+                               mode="cond_cache")
+
+        def fn(x, t):
+            return self.net.apply(params, x, t, cond, mode="main",
+                                  cache=cache)
+
+        return fn
+
     def _enc_dec_fns(self, params: Any):
         """(encode_fn, decode_fn) for encoder-propagation sampling
         ("Faster Diffusion", arXiv 2312.09608 — see sampling.py). Only the
@@ -302,7 +325,7 @@ class DDPM:
         if cond is not None:
             batch_size = cond.shape[0]
         shape = (batch_size, h, w, self.channels)
-        fn = self._model_fn(params, cond)
+        fn = self._cond_cached_fn(params, cond, shape)
         if self.process_name == "res":
             # sample the residual, then reconstruct ref + residual
             # (reference ddm/ddm_res.py:846+,953-969). Both reference sampler
@@ -533,7 +556,7 @@ class LatentDiffusion(DDPM):
             batch_size = cond.shape[0]
         ratio = self.first_stage.down_ratio
         shape = (batch_size, h // ratio, w // ratio, self.channels)
-        fn = self._model_fn(params, cond)
+        fn = self._cond_cached_fn(params, cond, shape)
         if self.sample_type == "deterministic" and self.process_name != "linear":
             z = sampling.sample_deterministic(
                 self.process,

@@ -59,6 +59,11 @@ class CondUnet(nn.Module):
     n_decoders: int = 1
     dtype: jnp.dtype = jnp.float32
 
+    # the cond backbone + projections depend ONLY on `cond`, which is
+    # constant across a sampling loop — DDPM.sample caches them once per
+    # call (EXACT, unlike the approximate encoder_reuse of nn/unets.py)
+    supports_cond_cache = True
+
     @nn.compact
     def __call__(
         self,
@@ -67,7 +72,15 @@ class CondUnet(nn.Module):
         cond: Array,
         *,
         deterministic: bool = True,
+        mode: str = "full",
+        cache: Optional[Tuple[Array, Tuple[Array, ...]]] = None,
     ) -> Tuple[Array, Array]:
+        """mode='cond_cache' returns (h0, hm): the backbone feature pyramid
+        projected per level plus the stem-resolution map — everything that
+        depends only on `cond` (x/time enter nothing before the stem).
+        mode='main' consumes that cache and skips the backbone. 'full' is
+        cond_cache + main in one call (the training/parity path)."""
+        assert mode in ("full", "cond_cache", "main"), mode
         del deterministic  # dropout-free family (reference uses dropout=0.1
         # only inside BasicAttentionLayer MLP; omitted here)
         x = x.astype(jnp.float32)
@@ -88,22 +101,31 @@ class CondUnet(nn.Module):
         in_out = list(zip(dims[:-1], dims[1:]))
         n_levels = len(in_out)
 
-        # ---- cond backbone + projections --------------------------------
-        bb_cls, _ = BACKBONES[self.cond_net]
-        bb_kw = (
-            {"norm_mode": self.backbone_norm}
-            if "norm_mode" in bb_cls.__dataclass_fields__ else {}
-        )
-        feats = bb_cls(dtype=self.dtype, name="init_conv_mask", **bb_kw)(cond)
-        hm = [
-            nn.Conv(dims[i], (1, 1), dtype=self.dtype, name=f"projects_{i}")(feats[i])
-            for i in range(n_levels)
-        ]
+        # ---- cond backbone + projections (cond-only; cacheable) ---------
+        if mode == "main":
+            h0, hm = cache[0], list(cache[1])
+        else:
+            bb_cls, _ = BACKBONES[self.cond_net]
+            bb_kw = (
+                {"norm_mode": self.backbone_norm}
+                if "norm_mode" in bb_cls.__dataclass_fields__ else {}
+            )
+            feats = bb_cls(
+                dtype=self.dtype, name="init_conv_mask", **bb_kw
+            )(cond)
+            hm = [
+                nn.Conv(
+                    dims[i], (1, 1), dtype=self.dtype, name=f"projects_{i}"
+                )(feats[i])
+                for i in range(n_levels)
+            ]
+            h0 = _bilinear_resize(
+                feats[0].astype(jnp.float32), x.shape[1:3]
+            ).astype(self.dtype)
+            if mode == "cond_cache":
+                return h0, tuple(hm)
 
         # ---- stem --------------------------------------------------------
-        h0 = _bilinear_resize(feats[0].astype(jnp.float32), x.shape[1:3]).astype(
-            self.dtype
-        )
         x = jnp.concatenate([x.astype(self.dtype), h0], axis=-1)
         x = nn.Conv(init_dim, (7, 7), padding=3, dtype=self.dtype, name="init_conv")(x)
         g = min(init_dim // 4, 8)

@@ -1,0 +1,154 @@
+"""Encoder-propagation sampling: quality cost on a TRAINED tiny model (CPU).
+
+Trains the twin-harness tiny flagship (16x16, 2-level EDMPrecond, const2,
+tools/twin_train.py config — JAX side only, native init) on procedural
+shapes, then samples the EMA from IDENTICAL init noise with
+encoder_reuse in {1, 2, 5, 10} and scores proxy-FID ('192' features,
+same routing as the long run) against a train-disjoint reference set
+with noise/held-out anchors. k=1 is the exact reference sampler, so the
+table reads as "quality cost of reusing the encoder" on the calibrated
+anchor scale — the CPU counterpart of tools/sample_reuse_probe.py
+(which measures the on-chip speedup at a real milestone).
+
+Usage: python tools/reuse_quality_cpu.py [steps=1000]
+Writes results/twin/reuse_quality.json + grids.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import twin_train as tw
+
+N_SAMPLE = 256
+N_REF = 2048
+SCORE_BS = 64
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    out = Path("results/twin")
+    out.mkdir(parents=True, exist_ok=True)
+    tw.SCHED_TOTAL = steps
+
+    from adm_tpu.core.diffusion import DDPM
+    from adm_tpu.data.synthetic import ShapesDataset
+    from adm_tpu.metrics.fid import compute_fid
+    from adm_tpu.metrics.metric import (
+        extract_features,
+        fid_feature_key,
+        load_inception_params,
+    )
+    from adm_tpu.nn.unets import EDMPrecond
+    from adm_tpu.train.state import EmaConfig, TrainState
+    from adm_tpu.train.trainer import make_optimizer, make_train_step
+    from adm_tpu.utils.image import save_image_grid
+
+    net = EDMPrecond(
+        img_resolution=tw.RES, img_channels=3, sigma_data=1.0,
+        variant="const", n_decoders=2,
+        model_kwargs=dict(
+            model_channels=32, channel_mult=(1, 2), channel_mult_emb=2,
+            num_blocks=1, attn_resolutions=(8,), dropout=0.0,
+        ),
+    )
+    model = DDPM(
+        net=net, process_name="const2", image_size=(tw.RES, tw.RES),
+        channels=3, weighting_loss=True, eps=1e-4,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer, _ = make_optimizer(
+        tw.LR, total_steps=steps, warmup_steps=tw.WARMUP, min_lr=tw.MIN_LR,
+        weight_decay=tw.WD,
+    )
+    state = TrainState.create(params, optimizer.init(params))
+    ema_cfg = EmaConfig(beta=tw.EMA_BETA, update_after_step=tw.EMA_AFTER,
+                        update_every=tw.EMA_EVERY)
+    step_fn = jax.jit(make_train_step(model, optimizer, ema_cfg))
+
+    data = ShapesDataset(image_size=(tw.RES, tw.RES))
+    batch = 16
+    key = jax.random.PRNGKey(11)
+    t0 = time.time()
+    for it in range(steps):
+        imgs = np.stack([data[it * batch + i]["image"] for i in range(batch)])
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, {"image": jnp.asarray(imgs)}, sub)
+        if (it + 1) % 200 == 0:
+            print(f"[reuseq] step {it + 1}/{steps} "
+                  f"loss={float(metrics['loss']):.2f} "
+                  f"({(time.time() - t0) / (it + 1):.2f} s/step)", flush=True)
+
+    # ---- proxy-FID scaffolding (identical routing to twin_quality) ----
+    inc = load_inception_params("random")
+    feat = fid_feature_key("random")
+
+    def to_u8(img01):
+        return (img01 * 255).clip(0, 255).astype(np.uint8)
+
+    def score(u8, ref):
+        f = extract_features(u8, inc, (feat,), SCORE_BS)[feat]
+        return float(compute_fid(jnp.asarray(f), ref))
+
+    ref_u8 = to_u8(np.stack(
+        [(data[500_000 + i]["image"] + 1) / 2 for i in range(N_REF)]
+    ))
+    ref_feats = jnp.asarray(
+        extract_features(ref_u8, inc, (feat,), SCORE_BS)[feat]
+    )
+    held_u8 = to_u8(np.stack(
+        [(data[700_000 + i]["image"] + 1) / 2 for i in range(N_SAMPLE)]
+    ))
+    noise_u8 = np.random.RandomState(3).randint(
+        0, 256, held_u8.shape, dtype=np.uint8
+    )
+    report = {
+        "config": dict(steps=steps, batch=batch, res=tw.RES,
+                       n_sample=N_SAMPLE, n_ref=N_REF, feature=feat),
+        "train_wall_s": round(time.time() - t0, 1),
+        "anchor_heldout": round(score(held_u8, ref_feats), 4),
+        "anchor_noise": round(score(noise_u8, ref_feats), 4),
+        "variants": {},
+    }
+    init_noise = jnp.asarray(np.random.Generator(np.random.Philox(99))
+                             .standard_normal(
+                                 (N_SAMPLE, tw.RES, tw.RES, 3),
+                                 dtype=np.float32))
+    base_img = None
+    for k in (1, 2, 5, 10):
+        t1 = time.time()
+        img = np.asarray(model.sample(
+            state.ema_params, jax.random.PRNGKey(0), batch_size=N_SAMPLE,
+            unnormalize=True, init_noise=init_noise, encoder_reuse=k,
+        ))
+        wall = time.time() - t1
+        if base_img is None:
+            base_img = img
+        report["variants"][f"reuse{k}"] = {
+            "proxy_fid": round(score(to_u8(img), ref_feats), 4),
+            "pix_diff_vs_exact": round(
+                float(np.mean(np.abs(img - base_img))), 5
+            ),
+            "cpu_wall_s": round(wall, 1),
+        }
+        save_image_grid(np.clip(img[:16], 0, 1),
+                        str(out / f"reuseq-k{k}.png"), nrow=4)
+        print(f"[reuseq] k={k}: {report['variants'][f'reuse{k}']}",
+              flush=True)
+        (out / "reuse_quality.json").write_text(json.dumps(report, indent=1))
+    print(json.dumps(report), flush=True)
+
+
+if __name__ == "__main__":
+    main()
