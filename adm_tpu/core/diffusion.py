@@ -280,9 +280,9 @@ class DDPM:
         which is constant across the sampling loop — hoisting them out of
         the scan is EXACT (bit-identical to per-step recomputation; the
         cached values are scan-invariant so XLA evaluates them once per
-        sample() call). Falls back to the plain per-step fn for nets
-        without `supports_cond_cache` (e.g. the t2i UNet, whose text
-        context already enters per-step as plain operands)."""
+        sample() call). Text2ImgUnet caches its CLIP text tower the same
+        way. Falls back to the plain per-step fn for nets without
+        `supports_cond_cache`."""
         if cond is None or not getattr(self.net, "supports_cond_cache", False):
             return self._model_fn(params, cond)
         zeros = jnp.zeros(shape, jnp.float32)

@@ -91,6 +91,11 @@ class Text2ImgUnet(nn.Module):
     text_encoder_cfg: dict = None
     dtype: jnp.dtype = jnp.float32
 
+    # the CLIP text tower + projections depend ONLY on `tokens`, constant
+    # across a sampling loop — DDPM.sample caches them once per call
+    # (exact; same mechanism as CondUnet's backbone cache)
+    supports_cond_cache = True
+
     @nn.compact
     def __call__(
         self,
@@ -99,8 +104,14 @@ class Text2ImgUnet(nn.Module):
         tokens: Array,
         *,
         deterministic: bool = True,
+        mode: str = "full",
+        cache=None,
     ) -> Tuple[Array, Array]:
+        """mode='cond_cache' returns the per-level projected text context
+        (everything token-only: CLIP tower + Dense projections);
+        mode='main' consumes it and skips the tower. 'full' = both."""
         del deterministic
+        assert mode in ("full", "cond_cache", "main"), mode
         x = x.astype(jnp.float32)
         t = jnp.asarray(time, jnp.float32)
         if t.ndim == 0:
@@ -111,26 +122,31 @@ class Text2ImgUnet(nn.Module):
         c_noise = jnp.log(t)
         x_clone = x
 
-        # text embedding (frozen unless train_text_encoder)
-        enc = CLIPTextEncoder(
-            embed_dim=self.text_dim, dtype=self.dtype, name="clip_text",
-            **(self.text_encoder_cfg or {}),
-        )
-        text_emb = enc(tokens)
-        if not self.train_text_encoder:
-            text_emb = jax.lax.stop_gradient(text_emb)
-
         init_dim = self.init_dim or self.dim
         dims = [init_dim] + [self.dim * m for m in self.dim_mults]
         in_out = list(zip(dims[:-1], dims[1:]))
         n_levels = len(in_out)
 
-        hm = [
-            nn.Dense(dims[i], dtype=self.dtype, name=f"projects_{i}")(
-                text_emb.astype(self.dtype)
+        if mode == "main":
+            hm = list(cache)
+        else:
+            # text embedding (frozen unless train_text_encoder)
+            enc = CLIPTextEncoder(
+                embed_dim=self.text_dim, dtype=self.dtype, name="clip_text",
+                **(self.text_encoder_cfg or {}),
             )
-            for i in range(n_levels)
-        ]
+            text_emb = enc(tokens)
+            if not self.train_text_encoder:
+                text_emb = jax.lax.stop_gradient(text_emb)
+
+            hm = [
+                nn.Dense(dims[i], dtype=self.dtype, name=f"projects_{i}")(
+                    text_emb.astype(self.dtype)
+                )
+                for i in range(n_levels)
+            ]
+            if mode == "cond_cache":
+                return tuple(hm)
 
         x = nn.Conv(init_dim, (7, 7), padding=3, dtype=self.dtype, name="init_conv")(
             x.astype(self.dtype)
