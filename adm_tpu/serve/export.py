@@ -32,11 +32,13 @@ import jax.numpy as jnp
 from jax import export as jexport
 
 
-def _sample_fn(model, unnormalize, with_cond, with_fs):
+def _sample_fn(model, unnormalize, with_cond, with_fs, encoder_reuse=1):
     """Build the export callable. Argument order:
     (params, [fs_params,] noise, seed[, cond]). `noise` drives the initial
     draw (batch = noise.shape[0], possibly symbolic) and `seed` (scalar
-    uint32) the stochastic sampler's intermediate renoise draws."""
+    uint32) the stochastic sampler's intermediate renoise draws.
+    `encoder_reuse` bakes encoder-propagation sampling (arXiv 2312.09608)
+    into the exported program (uncond DDPM only; see core/sampling.py)."""
 
     def core(params, noise, seed, cond=None, fs_params=None):
         kw: dict = dict(unnormalize=unnormalize, init_noise=noise)
@@ -44,6 +46,8 @@ def _sample_fn(model, unnormalize, with_cond, with_fs):
             kw["cond"] = cond
         if fs_params is not None:
             kw["fs_params"] = fs_params
+        if encoder_reuse != 1:
+            kw["encoder_reuse"] = encoder_reuse
         return model.sample(
             params,
             jax.random.PRNGKey(seed),
@@ -97,6 +101,7 @@ def export_sampler(
     unnormalize: bool = True,
     symbolic_batch: bool = True,
     batch_size: int = 1,
+    encoder_reuse: int = 1,
 ) -> bytes:
     """Serialize the full sampling program to portable StableHLO bytes.
 
@@ -105,9 +110,12 @@ def export_sampler(
     (H, W, C) for conditional models; `fs_params` (LatentDiffusion) bakes
     the VAE decode into the program, called with the first-stage params as
     the second argument. `batch_size` applies when symbolic_batch=False.
+    `encoder_reuse=k` bakes encoder propagation into the artifact (uncond
+    DDPM only; quality table in BASELINE.md "Sampling acceleration").
     """
     fn = _sample_fn(
-        model, unnormalize, cond_shape is not None, fs_params is not None
+        model, unnormalize, cond_shape is not None, fs_params is not None,
+        encoder_reuse,
     )
     if symbolic_batch:
         (b,) = jexport.symbolic_shape("b")

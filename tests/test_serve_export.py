@@ -112,3 +112,24 @@ def test_aot_compile_executes():
     out = compiled(params, noise, jnp.uint32(0))
     assert np.isfinite(np.asarray(out)).all()
     assert flops is None or flops > 0
+
+
+def test_export_with_encoder_reuse(tmp_path):
+    """encoder_reuse=k bakes encoder-propagation sampling into the
+    artifact; the served output must equal the direct reuse-k sampler."""
+    model, params = _setup()
+    data = export_sampler(
+        model, params, platforms=("cpu",), encoder_reuse=2
+    )
+    fn = load_sampler(data)
+    noise = jax.random.normal(
+        jax.random.PRNGKey(5), (2, 16, 16, 3), jnp.float32
+    )
+    served = fn(params, noise, jnp.uint32(7))
+    direct = model.sample(
+        params, jax.random.PRNGKey(7), batch_size=2,
+        unnormalize=True, init_noise=noise, encoder_reuse=2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(served), np.asarray(direct), atol=1e-5, rtol=1e-5
+    )
