@@ -326,6 +326,18 @@ class DDPM:
             batch_size = cond.shape[0]
         shape = (batch_size, h, w, self.channels)
         fn = self._cond_cached_fn(params, cond, shape)
+        enc_kw = {}
+        if encoder_reuse > 1:
+            # encoder propagation (arXiv 2312.09608): both sampler families
+            # support it; only the uncond EDMPrecond net has the split
+            if cond is not None:
+                raise NotImplementedError(
+                    "encoder_reuse supports the unconditional "
+                    "EDMPrecond path only"
+                )
+            enc, dec = self._enc_dec_fns(params)
+            enc_kw = dict(encoder_reuse=encoder_reuse,
+                          encode_fn=enc, decode_fn=dec)
         if self.process_name == "res":
             # sample the residual, then reconstruct ref + residual
             # (reference ddm/ddm_res.py:846+,953-969). Both reference sampler
@@ -339,6 +351,7 @@ class DDPM:
                     self.process, fn, shape, key, self.sampling_timesteps,
                     clip_x_start=self.clip_x_start, scale_input=self.scale_input,
                     unnormalize=False, final_clip=False, init_noise=init_noise,
+                    **enc_kw,
                 )
             else:
                 res = sampling.sample_stochastic(
@@ -346,6 +359,7 @@ class DDPM:
                     clip_x_start=self.clip_x_start, scale_input=self.scale_input,
                     unnormalize=False, final_clip=False, step_grid="quadratic",
                     start_scale=1.0, init_noise=init_noise,
+                    **enc_kw,
                 )
             img = jnp.clip(ref + res, -1.0, 1.0)
             return sampling.unnormalize_to_zero_to_one(img) if unnormalize else img
@@ -353,16 +367,6 @@ class DDPM:
             # linear always routes to the stochastic/euler sampler — the
             # reference ddm_linear ships no deterministic path
             # (ddm/ddm_linear.py:259-271: both sample() branches are euler)
-            enc_kw = {}
-            if encoder_reuse > 1:
-                if cond is not None:
-                    raise NotImplementedError(
-                        "encoder_reuse supports the unconditional "
-                        "EDMPrecond path only"
-                    )
-                enc, dec = self._enc_dec_fns(params)
-                enc_kw = dict(encoder_reuse=encoder_reuse,
-                              encode_fn=enc, decode_fn=dec)
             return sampling.sample_deterministic(
                 self.process,
                 fn,
@@ -392,6 +396,7 @@ class DDPM:
             # (ddm_const.py:393-394); const2/linear keep it (ddm_const_2.py:646)
             start_scale=1.0 if self.process_name in ("const", "res") else None,
             init_noise=init_noise,
+            **enc_kw,
         )
 
 

@@ -136,8 +136,14 @@ def sample_stochastic(
     final_clip: bool | float = True,
     init_noise: Optional[Array] = None,
     noise_seq: Optional[Array] = None,
+    encoder_reuse: int = 1,
+    encode_fn: Optional[Callable] = None,
+    decode_fn: Optional[Callable] = None,
 ) -> Array:
     """Stochastic sampler (reference `sample_fn_s`).
+
+    `encoder_reuse=k > 1`: encoder propagation, same contract as
+    sample_deterministic (encode_fn/decode_fn required; k=1 unchanged).
 
     step_grid='uniform': s = 1/n each; with `denoise` the final step splits
     into (1/n - eps, eps) (LDM variant, ddm/ddm_const_2.py:641-646).
@@ -185,11 +191,27 @@ def sample_stochastic(
     x = noise0 * scale0
     cur_time = jnp.ones((batch,), jnp.float32)
 
+    reuse = encoder_reuse > 1
+    if reuse and (encode_fn is None or decode_fn is None):
+        raise ValueError("encoder_reuse > 1 needs encode_fn and decode_fn")
+
     def body(carry, inputs):
-        x, cur_time, key = carry
+        if reuse:
+            x, cur_time, key, cache = carry
+        else:
+            x, cur_time, key = carry
         i, s_i, step_eps = inputs
         s = jnp.where(i == n_total - 1, cur_time, jnp.full_like(cur_time, s_i))
-        drift, noise = model_fn(x, cur_time)
+        if reuse:
+            cache = jax.lax.cond(
+                (i % encoder_reuse == 0) & (i > 0),
+                lambda op: encode_fn(op[0], op[1]),
+                lambda op: op[2],
+                (x, cur_time, cache),
+            )
+            drift, noise = decode_fn(x, cur_time, cache)
+        else:
+            drift, noise = model_fn(x, cur_time)
         if correct_fn is not None:
             drift = correct_fn(drift, x, noise, cur_time)
         else:
@@ -202,6 +224,8 @@ def sample_stochastic(
             else jax.random.normal(eps_key, mean.shape, mean.dtype)
         )
         x = mean + sigma * eps
+        if reuse:
+            return (x, cur_time - s, key, cache), None
         return (x, cur_time - s, key), None
 
     idx = jnp.arange(n_total)
@@ -210,7 +234,13 @@ def sample_stochastic(
         if noise_seq is not None
         else jnp.zeros((n_total, 0), jnp.float32)  # unused placeholder
     )
-    (x, _, _), _ = jax.lax.scan(body, (x, cur_time, key), (idx, s_steps, seq))
+    if reuse:
+        cache0 = encode_fn(x, cur_time)
+        (x, _, _, _), _ = jax.lax.scan(
+            body, (x, cur_time, key, cache0), (idx, s_steps, seq)
+        )
+    else:
+        (x, _, _), _ = jax.lax.scan(body, (x, cur_time, key), (idx, s_steps, seq))
 
     if final_clip is True:
         x = jnp.clip(x, -scale_input, scale_input)

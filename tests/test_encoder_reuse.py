@@ -76,3 +76,24 @@ def test_reuse_rejects_conditional(model_and_params):
     with pytest.raises(NotImplementedError, match="encoder_reuse"):
         model.sample(params, jax.random.PRNGKey(0),
                      cond=jnp.zeros((2, RES, RES, 3)), encoder_reuse=2)
+
+
+def test_stochastic_sampler_reuse_runs(model_and_params):
+    """The stochastic family (image-space sample_fn_s) supports encoder
+    propagation too: runs under jit, finite, close to the exact path."""
+    import dataclasses
+
+    model, params = model_and_params
+    model_s = dataclasses.replace(model, sample_type="stochastic")
+    key = jax.random.PRNGKey(5)
+    noise = jax.random.normal(jax.random.PRNGKey(6), (2, RES, RES, 3))
+    base = jax.jit(
+        lambda p, k: model_s.sample(p, k, batch_size=2, init_noise=noise)
+    )(params, key)
+    reuse = jax.jit(
+        lambda p, k: model_s.sample(p, k, batch_size=2, init_noise=noise,
+                                    encoder_reuse=2)
+    )(params, key)
+    assert bool(jnp.all(jnp.isfinite(reuse)))
+    diff = float(jnp.mean(jnp.abs(base - reuse)))
+    assert diff < 0.1, f"stochastic encoder-reuse drift too large: {diff}"
