@@ -550,18 +550,30 @@ class LatentDiffusion(DDPM):
         unnormalize: bool = True,
         ref: Optional[Array] = None,
         init_noise: Optional[Array] = None,
+        encoder_reuse: int = 1,
     ):
         """`ref` (latent-space) is consumed by the residual process: the
         sampled residual is added to it before decoding, per
         ddm/ddm_res.py:846-870 (x_rec = decode(ref + z), no scale inverse).
         `init_noise` (latent-shaped, unit std) overrides the initial PRNG
-        draw — the serving/export path's noise input."""
+        draw — the serving/export path's noise input. `encoder_reuse=k`:
+        encoder propagation in the LATENT sampler (uncond LDM only)."""
         h, w = self.image_size
         if cond is not None:
             batch_size = cond.shape[0]
         ratio = self.first_stage.down_ratio
         shape = (batch_size, h // ratio, w // ratio, self.channels)
         fn = self._cond_cached_fn(params, cond, shape)
+        enc_kw = {}
+        if encoder_reuse > 1:
+            if cond is not None:
+                raise NotImplementedError(
+                    "encoder_reuse supports the unconditional "
+                    "EDMPrecond path only"
+                )
+            enc, dec = self._enc_dec_fns(params)
+            enc_kw = dict(encoder_reuse=encoder_reuse,
+                          encode_fn=enc, decode_fn=dec)
         if self.sample_type == "deterministic" and self.process_name != "linear":
             z = sampling.sample_deterministic(
                 self.process,
@@ -573,6 +585,7 @@ class LatentDiffusion(DDPM):
                 unnormalize=False,
                 final_clip=False,
                 init_noise=init_noise,
+                **enc_kw,
             )
         else:
             # LDM stochastic correction (ddm_const_2.py:664-676): softsign
@@ -608,6 +621,7 @@ class LatentDiffusion(DDPM):
                 # t from sigma_max to sigma_min^2); identical to the
                 # quadratic grid at the default sigma_max=1
                 step_grid="quadratic" if self.process_name == "res" else "uniform",
+                **enc_kw,
             )
         if self.process_name == "res":
             if ref is None:

@@ -529,6 +529,11 @@ class EDMPrecond(nn.Module):
         ("Faster Diffusion", arXiv 2312.09608). encode+decode at one step
         is bit-identical to 'full'. Requires model_type='DhariwalUNet'."""
         assert mode in ("full", "encode", "decode"), mode
+        if mode != "full" and self.model_type != "DhariwalUNet":
+            raise NotImplementedError(
+                "the encode/decode split (encoder_reuse) is implemented "
+                f"for DhariwalUNet only, not {self.model_type}"
+            )
         x = x.astype(jnp.float32)
         sigma = jnp.asarray(sigma, jnp.float32)
         if sigma.ndim == 0:

@@ -97,3 +97,53 @@ def test_stochastic_sampler_reuse_runs(model_and_params):
     assert bool(jnp.all(jnp.isfinite(reuse)))
     diff = float(jnp.mean(jnp.abs(base - reuse)))
     assert diff < 0.1, f"stochastic encoder-reuse drift too large: {diff}"
+
+
+def test_ldm_sampler_reuse_runs():
+    """LatentDiffusion.sample(encoder_reuse=k): encoder propagation in the
+    LATENT sampler, decoded through the first stage."""
+    from adm_tpu.core.diffusion import LatentDiffusion
+    from adm_tpu.vae.autoencoder import AutoencoderKL, FirstStage
+
+    dd = dict(ch=8, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+              attn_resolutions=[], in_channels=3, resolution=32,
+              z_channels=4, double_z=True)
+    vae = AutoencoderKL(ddconfig=dd, embed_dim=4)
+    fs = FirstStage(vae)
+    fs_params = fs.init(jax.random.PRNGKey(0), (32, 32), 3)
+    net = EDMPrecond(
+        img_resolution=16, img_channels=4, variant="const2", n_decoders=2,
+        model_kwargs=dict(model_channels=16, channel_mult=(1, 2),
+                          num_blocks=1, attn_resolutions=(8,), dropout=0.0),
+    )
+    model = LatentDiffusion(
+        net=net, process_name="const2", image_size=(32, 32), channels=4,
+        sampling_timesteps=4, first_stage=fs, scale_factor=2.0,
+        scale_by_std=True,
+    )
+    params = model.init(jax.random.PRNGKey(1))
+    noise = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, 4))
+    base = jax.jit(lambda p, f: model.sample(
+        p, jax.random.PRNGKey(3), batch_size=2, fs_params=f,
+        init_noise=noise))(params, fs_params)
+    reuse = jax.jit(lambda p, f: model.sample(
+        p, jax.random.PRNGKey(3), batch_size=2, fs_params=f,
+        init_noise=noise, encoder_reuse=2))(params, fs_params)
+    assert base.shape == reuse.shape == (2, 32, 32, 3)
+    assert bool(jnp.all(jnp.isfinite(reuse)))
+    diff = float(jnp.mean(jnp.abs(base - reuse)))
+    assert diff < 0.1, f"LDM encoder-reuse drift too large: {diff}"
+
+
+def test_songunet_mode_raises_clearly():
+    from adm_tpu.nn.unets import EDMPrecond as _EP
+
+    net = _EP(img_resolution=16, img_channels=3, model_type="SongUNet",
+              variant="const", n_decoders=2,
+              model_kwargs=dict(model_channels=16, channel_mult=(1, 2),
+                                num_blocks=1, attn_resolutions=()))
+    x = jnp.zeros((1, 16, 16, 3))
+    t = jnp.full((1,), 0.5)
+    params = net.init(jax.random.PRNGKey(0), x, t)
+    with pytest.raises(NotImplementedError, match="DhariwalUNet only"):
+        net.apply(params, x, t, mode="encode")
