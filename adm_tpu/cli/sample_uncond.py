@@ -66,6 +66,12 @@ def main():
     model = with_restored_scale(model, state)
     weights = state.ema_params if use_ema else state.params
 
+    if args.rk45 and args.encoder_reuse != 1:
+        raise SystemExit(
+            "--encoder-reuse applies to the few-step sampler only; the "
+            "adaptive RK45 ODE path has no fixed step grid to reuse the "
+            "encoder across — drop one of the flags"
+        )
     if args.rk45:
         from adm_tpu.core.ode import rk45_sample
 

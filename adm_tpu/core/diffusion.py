@@ -309,6 +309,21 @@ class DDPM:
 
         return enc, dec
 
+    def _encoder_reuse_kwargs(self, params: Any, cond: Optional[Array],
+                              encoder_reuse: int) -> dict:
+        """Sampler kwargs for encoder propagation (shared by DDPM and
+        LatentDiffusion sample paths; both families accept them)."""
+        if encoder_reuse <= 1:
+            return {}
+        if cond is not None:
+            raise NotImplementedError(
+                "encoder_reuse supports the unconditional EDMPrecond "
+                "path only"
+            )
+        enc, dec = self._enc_dec_fns(params)
+        return dict(encoder_reuse=encoder_reuse, encode_fn=enc,
+                    decode_fn=dec)
+
     def sample(
         self,
         params: Any,
@@ -326,18 +341,7 @@ class DDPM:
             batch_size = cond.shape[0]
         shape = (batch_size, h, w, self.channels)
         fn = self._cond_cached_fn(params, cond, shape)
-        enc_kw = {}
-        if encoder_reuse > 1:
-            # encoder propagation (arXiv 2312.09608): both sampler families
-            # support it; only the uncond EDMPrecond net has the split
-            if cond is not None:
-                raise NotImplementedError(
-                    "encoder_reuse supports the unconditional "
-                    "EDMPrecond path only"
-                )
-            enc, dec = self._enc_dec_fns(params)
-            enc_kw = dict(encoder_reuse=encoder_reuse,
-                          encode_fn=enc, decode_fn=dec)
+        enc_kw = self._encoder_reuse_kwargs(params, cond, encoder_reuse)
         if self.process_name == "res":
             # sample the residual, then reconstruct ref + residual
             # (reference ddm/ddm_res.py:846+,953-969). Both reference sampler
@@ -564,16 +568,7 @@ class LatentDiffusion(DDPM):
         ratio = self.first_stage.down_ratio
         shape = (batch_size, h // ratio, w // ratio, self.channels)
         fn = self._cond_cached_fn(params, cond, shape)
-        enc_kw = {}
-        if encoder_reuse > 1:
-            if cond is not None:
-                raise NotImplementedError(
-                    "encoder_reuse supports the unconditional "
-                    "EDMPrecond path only"
-                )
-            enc, dec = self._enc_dec_fns(params)
-            enc_kw = dict(encoder_reuse=encoder_reuse,
-                          encode_fn=enc, decode_fn=dec)
+        enc_kw = self._encoder_reuse_kwargs(params, cond, encoder_reuse)
         if self.sample_type == "deterministic" and self.process_name != "linear":
             z = sampling.sample_deterministic(
                 self.process,

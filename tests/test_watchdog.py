@@ -166,9 +166,52 @@ def test_run_watched_bounds_an_orphaned_pause(tmp_path):
     rc = run_watched(
         make_cmd, tmp_path,
         timeout=30.0, poll=0.2, grace=60.0, max_restarts=1,
-        max_pause=1.0, log=logs.append,
+        max_pause=1.0, keepalive_fresh=1.0, log=logs.append,
     )
     t.join()
     assert rc == 0
     assert (tmp_path / "done").read_text() == "completed"
     assert any("pause exceeded" in l for l in logs)
+
+
+def test_run_watched_never_resumes_under_a_live_quiescer(tmp_path):
+    """A LIVE quiescer (keepalive touching the heartbeat every 60s, like
+    quiet_chip) must keep the pause forgiven past max_pause — force-resume
+    under a still-running chip job would make two programs contend."""
+    script = tmp_path / "pause_child.py"
+    script.write_text(PAUSE_CHILD)
+    logs = []
+    pid_file = tmp_path / "child.pid"
+    stop = threading.Event()
+
+    def live_quiescer():
+        deadline = time.time() + 30
+        while not pid_file.exists():
+            if time.time() > deadline:
+                return
+            time.sleep(0.05)
+        pid = int(pid_file.read_text())
+        os.kill(pid, signal.SIGSTOP)
+        hb = tmp_path / "heartbeat"
+        t_end = time.time() + 3.0  # hold the pause well past max_pause=1
+        while time.time() < t_end:
+            hb.touch()  # keepalive
+            time.sleep(0.2)
+        os.kill(pid, signal.SIGCONT)
+        stop.set()
+
+    t = threading.Thread(target=live_quiescer)
+    t.start()
+
+    def make_cmd(resume):
+        return [sys.executable, "-S", str(script), str(tmp_path)]
+
+    rc = run_watched(
+        make_cmd, tmp_path,
+        timeout=30.0, poll=0.2, grace=60.0, max_restarts=1,
+        max_pause=1.0, keepalive_fresh=1.0, log=logs.append,
+    )
+    t.join()
+    assert rc == 0
+    assert (tmp_path / "done").read_text() == "completed"
+    assert not any("pause exceeded" in l for l in logs), logs

@@ -38,11 +38,20 @@ def main():
     # a protocol pass only speaks for the gate if it was computed AT the
     # trend's final step — an fid_eval.json left over from an earlier
     # milestone (e.g. the mid-round queue pass) must not be judged as if
-    # it were the end-of-run number (code-review r4 finding)
-    protocol_step = fid_eval.get("step") or fid_eval.get("milestone", 0) * 2000
+    # it were the end-of-run number (code-review r4 finding). The step is
+    # taken from the eval itself, else from the trend row sharing its
+    # milestone (eval_fid writes step=null when the device read fails —
+    # the documented tunnel RPC-drop mode; no hardcoded milestone
+    # spacing). Unresolvable => conservatively stale, judge the trend.
+    protocol_step = fid_eval.get("step")
+    if protocol_step is None and fid_eval.get("milestone") is not None:
+        protocol_step = next(
+            (m.get("step") for m in trend
+             if m.get("milestone") == fid_eval["milestone"]), None,
+        )
     protocol_stale = bool(
-        protocol is not None and last.get("step") is not None
-        and protocol_step != last["step"]
+        protocol is not None
+        and (protocol_step is None or protocol_step != last.get("step"))
     )
     final = (protocol if protocol is not None and not protocol_stale
              else last.get("proxy_fid"))

@@ -81,13 +81,18 @@ def _is_steady(pid: int, results_dir: Path) -> bool:
 
 
 def _watchdog_pid(trainer_pid: int) -> int | None:
-    """The supervising watchdog = trainer's parent, verified by cmdline."""
+    """The supervising watchdog = trainer's parent, verified by cmdline.
+
+    NEVER returns the calling process: if the trainer's parent is us
+    (e.g. a test spawning a fake trainer from a process whose argv
+    happens to mention watchdog.py — pytest running test_watchdog.py
+    froze ITSELF this way), freezing it would deadlock the quiesce."""
     try:
         status = Path(f"/proc/{trainer_pid}/status").read_text()
         ppid = int(status.split("PPid:")[1].split()[0])
-        if ppid > 1 and b"watchdog.py" in Path(
-            f"/proc/{ppid}/cmdline"
-        ).read_bytes():
+        if ppid in (0, 1, os.getpid()):
+            return None
+        if b"watchdog.py" in Path(f"/proc/{ppid}/cmdline").read_bytes():
             return ppid
     except (OSError, ValueError, IndexError):
         pass
@@ -203,23 +208,25 @@ def main() -> int:
     # command. Python's default TERM handler would exit without unwinding —
     # leaving the trainer SIGSTOP'd (or the watchdog frozen) forever and
     # the wrapped chip command orphaned (code-review r4). Convert TERM/INT
-    # into an exception so quiesce()'s finally runs, and pass the signal on
-    # to the child so the chip is actually freed.
+    # into an exception so quiesce()'s finally runs IMMEDIATELY, and TERM
+    # the child's whole process group so the chip is actually freed. No
+    # wait() in the handler: the interrupted main thread holds Popen's
+    # waitpid lock, so a handler-side wait can never reap and would only
+    # stall the unwind (code-review r4 round 2).
     proc: subprocess.Popen | None = None
 
     def _on_signal(signum, frame):
         if proc is not None and proc.poll() is None:
-            proc.terminate()
             try:
-                proc.wait(timeout=10)
-            except subprocess.TimeoutExpired:
-                proc.kill()
+                os.killpg(os.getpgid(proc.pid), signal.SIGTERM)
+            except (ProcessLookupError, PermissionError, OSError):
+                proc.terminate()
         raise SystemExit(128 + signum)
 
     signal.signal(signal.SIGTERM, _on_signal)
     signal.signal(signal.SIGINT, _on_signal)
     with quiesce():
-        proc = subprocess.Popen(sys.argv[1:])
+        proc = subprocess.Popen(sys.argv[1:], start_new_session=True)
         return proc.wait()
 
 

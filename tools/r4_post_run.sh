@@ -33,6 +33,9 @@ done
 echo "[r4_post_run] watchdog $WPID exited, chip free $(date)" >> "$LOG"
 
 FINAL_MS=$(ls -d results/long_run/model-* 2>/dev/null | sed 's/.*model-//' | sort -n | tail -1)
+# the relay can be down for hours (CLAUDE.md) — probe before EACH chip
+# item so a mid-sequence outage doesn't burn 25-min UNAVAILABLE inits
+bash tools/wait_relay.sh
 timeout 7200 python tools/eval_fid.py 50000 >> "$LOG" 2>&1
 echo "[r4_post_run] eval_fid rc=$? $(date)" >> "$LOG"
 # archive the milestone-26 probe before probing the final milestone
@@ -41,6 +44,7 @@ if [ -f results/long_run/sample_steps_probe.json ]; then
   mv results/long_run/sample_steps_probe.json \
      results/long_run/sample_steps_probe_m26.json
 fi
+bash tools/wait_relay.sh
 timeout 7200 python tools/sample_steps_probe.py "$FINAL_MS" 1024 >> "$LOG" 2>&1
 echo "[r4_post_run] steps_probe rc=$? milestone=$FINAL_MS $(date)" >> "$LOG"
 python tools/gate_verdict.py >> "$LOG" 2>&1

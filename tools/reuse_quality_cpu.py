@@ -40,7 +40,8 @@ def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     out = Path("results/twin")
     out.mkdir(parents=True, exist_ok=True)
-    tw.SCHED_TOTAL = steps
+    # (LR horizon is passed directly to make_optimizer below — twin_train's
+    # module-level SCHED_TOTAL is not consulted by this script)
 
     from adm_tpu.core.diffusion import DDPM
     from adm_tpu.data.synthetic import ShapesDataset

@@ -50,6 +50,11 @@ def main():
     )
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     bs = 128
+    if n < bs:
+        raise SystemExit(
+            f"n={n} < batch {bs} would sample nothing after the compile "
+            "warmup — pass n >= 128"
+        )
     net, res = _flagship()
     model = DDPM(
         net=net, process_name="const", image_size=(res, res), channels=3,

@@ -64,16 +64,19 @@ def run_watched(
     grace: float = 1800.0,
     max_restarts: int = 20,
     max_pause: float = 7200.0,
+    keepalive_fresh: float = 180.0,
     log=print,
 ) -> int:
     """Run make_cmd(resume_milestone) under stall supervision.
 
     grace: allowance before the FIRST heartbeat of each launch (backend init
     ~5 min + train-step compile can exceed 10 min on the tunneled backend).
-    max_pause: longest tolerated SIGSTOP window. A quiescer (bench.py /
-    quiet_chip) pauses for minutes; a quiescer that died without SIGCONT
-    would otherwise disable stall recovery FOREVER (code-review r4) — past
-    the cap the child is resumed and judged by heartbeat age as usual.
+    max_pause: longest tolerated SIGSTOP window with a STALE heartbeat. A
+    quiescer that died without SIGCONT would otherwise disable stall
+    recovery FOREVER (code-review r4) — past the cap the child is resumed
+    and judged by heartbeat age as usual. A live quiescer keeps the
+    heartbeat fresher than keepalive_fresh (quiet_chip touches it every
+    60 s), so legitimate long quiesces are never force-resumed.
     Returns the final exit code (0 = child completed normally).
     """
     heartbeat = results_dir / "heartbeat"
@@ -95,15 +98,24 @@ def run_watched(
             # a SIGSTOP'd child (bench.py quiescing the chip) is paused,
             # not stalled: accrue slack so the aged heartbeat is forgiven
             # after SIGCONT, until a fresh heartbeat resets it. Bounded:
-            # past max_pause the quiescer is presumed dead — SIGCONT the
-            # child ourselves and fall through to normal heartbeat aging.
+            # past max_pause WITH a stale heartbeat the quiescer is
+            # presumed dead — SIGCONT the child ourselves and fall through
+            # to normal aging. A LIVE quiescer keeps the heartbeat fresh
+            # while paused (quiet_chip's keepalive touches it every 60 s),
+            # so a legitimate long quiesce is never force-resumed under a
+            # still-running chip job (code-review r4).
             if _proc_state(child.pid) == "T":
-                if pause_slack < max_pause:
+                try:
+                    hb_age = time.time() - heartbeat.stat().st_mtime
+                except OSError:
+                    hb_age = float("inf")
+                if pause_slack < max_pause or hb_age < keepalive_fresh:
                     pause_slack += poll
                     time.sleep(poll)
                     continue
-                log(f"[watchdog] pause exceeded {max_pause:.0f}s — "
-                    f"resuming pid {child.pid} (quiescer presumed dead)")
+                log(f"[watchdog] pause exceeded {max_pause:.0f}s with a "
+                    f"{hb_age:.0f}s-stale heartbeat — resuming pid "
+                    f"{child.pid} (quiescer presumed dead)")
                 try:
                     os.kill(child.pid, signal.SIGCONT)
                 except OSError:
