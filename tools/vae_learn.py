@@ -32,6 +32,21 @@ GRID_AT = (200, 1000)  # plus the final step
 
 
 def main():
+    import os
+
+    # env knobs let a CPU fallback run at reduced scale WITHOUT touching
+    # the chip defaults (relay outages can block the chip for half a day;
+    # learning evidence at 64x64 CPU beats none):
+    #   ADM_TPU_VAE_LEARN_RES   image side (default 256)
+    #   ADM_TPU_VAE_LEARN_BATCH batch (default 8)
+    #   ADM_TPU_VAE_LEARN_OUT   results dir (default results/vae_learn)
+    #   ADM_TPU_VAE_LEARN_DISC  disc_start (default 600)
+    global OUT, DISC_START
+    res = int(os.environ.get("ADM_TPU_VAE_LEARN_RES", "256"))
+    batch = int(os.environ.get("ADM_TPU_VAE_LEARN_BATCH", "8"))
+    OUT = Path(os.environ.get("ADM_TPU_VAE_LEARN_OUT", str(OUT)))
+    DISC_START = int(os.environ.get("ADM_TPU_VAE_LEARN_DISC",
+                                    str(DISC_START)))
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else STEPS_DEFAULT
     OUT.mkdir(parents=True, exist_ok=True)
     from adm_tpu.utils.cache import enable_compilation_cache
@@ -53,12 +68,12 @@ def main():
         kl_weight=float(cfg["model"]["lossconfig"].get("kl_weight", 1e-6)),
         disc_weight=float(cfg["model"]["lossconfig"].get("disc_weight", 0.5)),
     )
-    data = ShapesDataset(image_size=(256, 256))
-    it = batch_iterator(data, batch_size=8, seed=0)
+    data = ShapesDataset(image_size=(res, res))
+    it = batch_iterator(data, batch_size=batch, seed=0)
 
     trainer = VAETrainer(
         module, it,
-        image_size=(256, 256), in_channels=3, loss_cfg=loss_cfg,
+        image_size=(res, res), in_channels=3, loss_cfg=loss_cfg,
         train_num_steps=steps, train_lr=1e-4, warmup_steps=200,
         log_freq=LOG_EVERY, save_and_sample_every=0,
         results_folder=str(OUT),
@@ -89,9 +104,9 @@ def main():
 
     step = int(trainer.state.step)
     while step < steps:
-        batch = shard_batch(trainer.mesh, next(trainer.data_iter))
+        mb = shard_batch(trainer.mesh, next(trainer.data_iter))
         trainer.state, metrics = trainer._step(
-            trainer.state, batch, trainer.train_key
+            trainer.state, mb, trainer.train_key
         )
         step += 1
         if step % LOG_EVERY == 0 or step == steps:
@@ -104,15 +119,15 @@ def main():
                 f.write(",".join(str(round(v, 6)) for v in row) + "\n")
             print(f"[vae_learn] step {step}/{steps} rec={row[1]:.4f} "
                   f"d_weight={row[3]:.4f} disc={row[5]:.4f} "
-                  f"({8 * step / (time.time() - t0):.1f} img/s)", flush=True)
+                  f"({batch * step / (time.time() - t0):.1f} img/s)", flush=True)
         if step in GRID_AT or step == steps:
             grid(step)
 
     first, last = rows[0], rows[-1]
     summary = {
-        "steps": steps,
+        "steps": steps, "res": res, "batch": batch,
         "wall_seconds": round(time.time() - t0, 1),
-        "imgs_per_sec": round(8 * steps / (time.time() - t0), 1),
+        "imgs_per_sec": round(batch * steps / (time.time() - t0), 1),
         "rec_loss_first": first[1], "rec_loss_last": last[1],
         "rec_drop_ratio": round(last[1] / max(first[1], 1e-9), 4),
         "d_weight_last": last[3],
