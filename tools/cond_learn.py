@@ -63,6 +63,24 @@ def psnr(pred: np.ndarray, target: np.ndarray, max_val: float = 1.0) -> float:
 
 
 def main():
+    import os
+
+    # env knobs for reduced-scale smoke/fallback runs (same pattern as
+    # vae_learn; chip defaults unchanged):
+    #   ADM_TPU_COND_LEARN_RES    train crop (default 128)
+    #   ADM_TPU_COND_LEARN_EVAL   eval image side (default 2*res)
+    #   ADM_TPU_COND_LEARN_BATCH  batch (default 32)
+    #   ADM_TPU_COND_LEARN_DIM    unet dim (default 48)
+    #   ADM_TPU_COND_LEARN_OUT    results dir (default results/cond_learn)
+    global OUT, RES, EVAL_RES, BATCH
+    RES = int(os.environ.get("ADM_TPU_COND_LEARN_RES", str(RES)))
+    EVAL_RES = int(os.environ.get("ADM_TPU_COND_LEARN_EVAL", str(2 * RES)))
+    BATCH = int(os.environ.get("ADM_TPU_COND_LEARN_BATCH", str(BATCH)))
+    MODEL_CFG["image_size"] = [RES, RES]
+    MODEL_CFG["unet"]["dim"] = int(
+        os.environ.get("ADM_TPU_COND_LEARN_DIM", MODEL_CFG["unet"]["dim"])
+    )
+    OUT = Path(os.environ.get("ADM_TPU_COND_LEARN_OUT", str(OUT)))
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
     OUT.mkdir(parents=True, exist_ok=True)
     from adm_tpu.utils.cache import enable_compilation_cache
@@ -106,7 +124,7 @@ def main():
         w = trainer.state.ema_params
         pred = slide_sample(
             lambda c, k: _jit_crop(w, c, k), cond,
-            (RES, RES), (64, 64), jax.random.PRNGKey(5),
+            (RES, RES), (RES // 2, RES // 2), jax.random.PRNGKey(5),
             out_channels=1, flip_test=True,
         )
         save_image_grid(
