@@ -48,4 +48,17 @@ bash tools/wait_relay.sh
 timeout 7200 python tools/sample_steps_probe.py "$FINAL_MS" 1024 >> "$LOG" 2>&1
 echo "[r4_post_run] steps_probe rc=$? milestone=$FINAL_MS $(date)" >> "$LOG"
 python tools/gate_verdict.py >> "$LOG" 2>&1
+echo "[r4_post_run] gate recorded $(date)" >> "$LOG"
+
+# Gate judged at 100k — now give round 5 the best model the remaining
+# wall-clock can buy: resume training toward 160k on the SAME 800k
+# horizon (same env -> the train-step compile is already cached from the
+# 58k->100k segment). The driver's end-of-round bench quiesces the
+# trainer itself (tools/quiet_chip.py via bench.py), so a live run is
+# safe to leave behind.
+bash tools/wait_relay.sh
+ADM_TPU_SCHED_TOTAL=800000 setsid nohup python tools/watchdog.py 160000 \
+  > results/long_run/watchdog_r4ext.log 2>&1 &
+sleep 30
+echo "[r4_post_run] extension watchdog pid $(cat results/long_run/watchdog.pid 2>/dev/null) $(date)" >> "$LOG"
 echo "[r4_post_run] all done $(date)" >> "$LOG"
