@@ -136,7 +136,7 @@ def main():
         return val
 
     results = {"steps": steps, "batch": BATCH, "res": RES,
-               "eval": f"{EVAL_RES} sliding {RES}/64 + flip"}
+               "eval": f"{EVAL_RES} sliding {RES}/{RES // 2} + flip"}
     t0 = time.time()
     results["psnr_random"] = eval_psnr("random")  # floor + compiles eval
     mid = steps // 2
