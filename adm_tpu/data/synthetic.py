@@ -106,3 +106,63 @@ class ShapesPairedDataset:
         if self.task == "identity":
             return {"image": img, "cond": img.copy()}
         return {"image": (fg * 2 - 1)[..., None], "cond": img}
+
+
+# caption vocabulary for ShapesCaptionedDataset: 6 primaries x 2 shapes.
+# Colors in [-1,1] pixel scale (value*2-1 of RGB primaries).
+CAPTION_COLORS = {
+    "red": (1.0, -1.0, -1.0),
+    "green": (-1.0, 1.0, -1.0),
+    "blue": (-1.0, -1.0, 1.0),
+    "yellow": (1.0, 1.0, -1.0),
+    "cyan": (-1.0, 1.0, 1.0),
+    "magenta": (1.0, -1.0, 1.0),
+}
+CAPTION_SHAPES = ("circle", "square")
+
+
+class ShapesCaptionedDataset:
+    """Procedural text2img pair: cond = token ids of 'a {color} {shape}',
+    image = one shape of that color on a dark background.
+
+    The t2i learning-evidence harness (tools/t2i_learn.py) trains the
+    LAION-family `cond_unet_t2i` stack on this: the caption set is 12
+    templates (6 colors x 2 shapes), tokenized with the CLIP-framed
+    ByteTokenizer (nn/text_encoder.py) so no external BPE vocab file is
+    needed. Batch contract matches WebdatasetReader's
+    {'image': (H,W,3) in [-1,1], 'cond': (77,) int32} (data/webdata.py;
+    reference t2i pipeline ddm/data.py + train_t2i_dpm recipe)."""
+
+    def __init__(self, image_size=(64, 64), length: int = 100_000,
+                 seed: int = 0, context_length: int = 77, **kwargs):
+        from adm_tpu.nn.text_encoder import ByteTokenizer
+
+        self.image_size = tuple(image_size)
+        self.length = length
+        self.seed = seed
+        names = [(c, s) for c in CAPTION_COLORS for s in CAPTION_SHAPES]
+        self.captions = [f"a {c} {s}" for c, s in names]
+        self._specs = [(CAPTION_COLORS[c], s) for c, s in names]
+        self._tokens = ByteTokenizer(context_length)(self.captions)
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, index: int):
+        h, w = self.image_size
+        rng = np.random.RandomState((self.seed * 1_000_003 + index) % 2**31)
+        k = rng.randint(len(self._specs))
+        color, shape = self._specs[k]
+        img = np.ones((h, w, 3), np.float32) * rng.uniform(-0.95, -0.75)
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        cx, cy = rng.uniform(w * 0.3, w * 0.7), rng.uniform(h * 0.3, h * 0.7)
+        r = rng.uniform(min(h, w) * 0.15, min(h, w) * 0.3)
+        if shape == "circle":
+            d = np.sqrt((xx - cx) ** 2 + (yy - cy) ** 2)
+        else:
+            d = np.maximum(np.abs(xx - cx), np.abs(yy - cy))
+        mask = np.clip(r - d + 0.5, 0, 1)
+        img = img * (1 - mask[..., None]) + np.asarray(
+            color, np.float32
+        ) * mask[..., None]
+        return {"image": np.clip(img, -1, 1), "cond": self._tokens[k].copy()}
