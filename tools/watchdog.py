@@ -55,6 +55,20 @@ def newest_milestone(results_dir: Path) -> int:
     return best
 
 
+def _relay_up() -> bool:
+    """True iff the axon loopback relay accepts connections (or there is
+    no axon plugin at all — CPU boxes have no relay to wait for)."""
+    import socket
+
+    if not Path("/root/.axon_site/axon").exists():
+        return True
+    try:
+        with socket.create_connection(("127.0.0.1", 8083), timeout=5):
+            return True
+    except OSError:
+        return False
+
+
 def run_watched(
     make_cmd: Callable[[int], List[str]],
     results_dir: Path,
@@ -65,6 +79,7 @@ def run_watched(
     max_restarts: int = 20,
     max_pause: float = 7200.0,
     keepalive_fresh: float = 180.0,
+    relay_wait: bool = False,
     log=print,
 ) -> int:
     """Run make_cmd(resume_milestone) under stall supervision.
@@ -82,6 +97,19 @@ def run_watched(
     heartbeat = results_dir / "heartbeat"
     restarts = 0
     while True:
+        if relay_wait:
+            # the axon loopback relay can be down for hours; every launch
+            # then burns ~25 min failing UNAVAILABLE at backend init —
+            # 20 restarts would waste a whole day (measured outage
+            # 2026-08-17 20:05-23:40). Poll the port instead; a waiting
+            # launch costs nothing and resumes the moment the relay does.
+            waited = 0.0
+            while not _relay_up():
+                if waited % 600 == 0:
+                    log(f"[watchdog] axon relay :8083 down — waiting "
+                        f"({waited / 60:.0f} min so far)")
+                time.sleep(60.0)
+                waited += 60.0
         resume = newest_milestone(results_dir)
         cmd = make_cmd(resume)
         launch_t = time.time()
@@ -183,7 +211,8 @@ def main():
         return [sys.executable, str(here / "train_long.py"), str(steps),
                 str(resume)]
 
-    rc = run_watched(make_cmd, results, timeout=timeout, grace=grace)
+    rc = run_watched(make_cmd, results, timeout=timeout, grace=grace,
+                     relay_wait=True)
     summary = results / "summary.json"
     if summary.exists():
         print(json.dumps(json.loads(summary.read_text())))
