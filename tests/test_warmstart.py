@@ -2,8 +2,10 @@
 
 Insurance path for VM restores that destroy gitignored orbax dirs
 (2026-08-18 incident). The round trip must preserve step and scale_factor
-exactly and params/EMA to bf16 precision, and must rebuild a milestone
-train_long's resume path can load."""
+exactly and the EMA tree to bf16 precision, rebuild params FROM the EMA
+tree (the snapshot stores only EMA to halve the committable artifact),
+and rebuild a milestone train_long's resume path can load. Legacy
+two-tree snapshots must keep restoring params from their own tree."""
 
 import jax
 import jax.numpy as jnp
@@ -65,15 +67,45 @@ def test_round_trip(milestone_dir):
         got = ckptr.restore(str(rebuilt_dir.absolute()), template)
     assert int(got.step) == 4321
     assert float(got.scale_factor) == pytest.approx(0.3536, abs=1e-7)
+    # params are rebuilt FROM the snapshot's EMA tree (EMA-only format)
+    for tree in (got.params, got.ema_params):
+        for a, b in zip(jax.tree_util.tree_leaves(tree),
+                        jax.tree_util.tree_leaves(orig.ema_params)):
+            if a.dtype == jnp.int32:
+                np.testing.assert_array_equal(a, b)  # non-f32 bit-exact
+            else:
+                np.testing.assert_allclose(a, b, rtol=8e-3, atol=2e-2)
+
+
+def test_legacy_two_tree_snapshot_restores_params(milestone_dir):
+    tmp_path, orig = milestone_dir
+    npz = tmp_path / "warmstart.npz"
+    # hand-build the pre-2026-08-18T11Z two-tree format
+    payload = {"step": np.asarray(orig.step),
+               "scale_factor": np.asarray(orig.scale_factor)}
+    for tag, tree in (("p", orig.params), ("e", orig.ema_params)):
+        leaves = jax.tree_util.tree_leaves(tree)
+        payload[f"n_{tag}"] = np.asarray(len(leaves))
+        for i, leaf in enumerate(leaves):
+            arr = np.asarray(leaf)
+            payload[f"{tag}{i}_dtype"] = np.asarray(str(arr.dtype))
+            payload[f"{tag}{i}"] = (
+                arr.astype(jnp.bfloat16).view(np.uint16)
+                if arr.dtype == np.float32 else arr)
+    np.savez(npz, **payload)
+
+    ws.restore(tmp_path, npz)
+    import orbax.checkpoint as ocp
+
+    template = jax.eval_shape(_tiny_build())
+    with ocp.StandardCheckpointer() as ckptr:
+        got = ckptr.restore(str((tmp_path / "model-2").absolute()), template)
     for a, b in zip(jax.tree_util.tree_leaves(got.params),
                     jax.tree_util.tree_leaves(orig.params)):
         if a.dtype == jnp.int32:
-            np.testing.assert_array_equal(a, b)  # non-f32 passes bit-exact
+            np.testing.assert_array_equal(a, b)
         else:
             np.testing.assert_allclose(a, b, rtol=8e-3, atol=8e-3)
-    for a, b in zip(jax.tree_util.tree_leaves(got.ema_params),
-                    jax.tree_util.tree_leaves(orig.ema_params)):
-        np.testing.assert_allclose(a, b, rtol=8e-3, atol=2e-2)
 
 
 def test_restore_rejects_changed_model(milestone_dir, monkeypatch):

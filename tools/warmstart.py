@@ -5,21 +5,25 @@ every gitignored orbax milestone (3 GB each, `results/**/model-*/` in
 .gitignore) — 58k steps of training lost. This tool is the insurance:
 
   snapshot: newest results/long_run/model-N  ->  warmstart.npz
-      params + EMA as bf16 (stored as uint16 views; ~450 MB for the
-      112M-param flagship — small enough to COMMIT, which is the only
-      storage that provably survives a VM restore), plus step and
-      scale_factor.
+      the EMA tree ONLY, as bf16 (uint16 views) in a zip-deflated npz:
+      ~340 MB for the 216M-param flagship (both-trees f32 orbax is
+      3.4 GB) — small enough to COMMIT, which is the only storage that
+      provably survives a VM restore. Plus step and scale_factor.
   restore:  warmstart.npz  ->  results/long_run/model-N
-      rebuilds a full orbax milestone around the snapshot: fresh
-      optimizer state (AdamW moments re-warm within a few hundred steps),
-      params/EMA cast back to their original dtypes, step preserved so
-      the LR schedule continues where it left off. train_long's normal
-      resume path then picks it up.
+      rebuilds a full orbax milestone around the snapshot: params AND
+      EMA both initialised from the snapshot's EMA tree, fresh optimizer
+      state (AdamW moments re-warm within a few hundred steps), step
+      preserved so the LR schedule continues where it left off.
+      train_long's normal resume path then picks it up. Legacy two-tree
+      snapshots (pre-2026-08-18T11Z) restore params from their own tree.
 
-bf16 is a documented loss of precision vs the f32 originals: fine for a
-disaster-recovery resume (the alternative is step 0), not a bit-exact
-checkpoint format — orbax milestones remain the primary format
-(reference analogue: torch .pt milestones, train_uncond_dpm.py:316-329).
+Documented precision losses vs the f32 originals: bf16 rounding, raw
+params replaced by the EMA point (a trailing average a few hundred steps
+behind — training re-converges immediately; sampling, which always uses
+EMA, is unaffected). Fine for a disaster-recovery resume (the
+alternative is step 0), not a bit-exact checkpoint format — orbax
+milestones remain the primary format (reference analogue: torch .pt
+milestones, train_uncond_dpm.py:316-329).
 
 Usage:
   python tools/warmstart.py snapshot [results_dir] [out.npz]
@@ -83,17 +87,18 @@ def snapshot(results_dir: Path, out: Path) -> None:
         "step": np.asarray(state.step),
         "scale_factor": np.asarray(state.scale_factor),
     }
-    for tag, tree in (("p", state.params), ("e", state.ema_params)):
-        leaves = jax.tree_util.tree_leaves(tree)
-        payload[f"n_{tag}"] = np.asarray(len(leaves))
-        for i, leaf in enumerate(leaves):
-            arr = np.asarray(leaf)
-            payload[f"{tag}{i}_dtype"] = np.asarray(str(arr.dtype))
-            payload[f"{tag}{i}"] = (
-                arr.astype(jax.numpy.bfloat16).view(np.uint16)
-                if arr.dtype == np.float32 else arr
-            )
-    np.savez(out, **payload)
+    # EMA tree only: params are restored FROM it (see module docstring) —
+    # halves the artifact, and deflate shaves another ~22% off the bf16.
+    leaves = jax.tree_util.tree_leaves(state.ema_params)
+    payload["n_e"] = np.asarray(len(leaves))
+    for i, leaf in enumerate(leaves):
+        arr = np.asarray(leaf)
+        payload[f"e{i}_dtype"] = np.asarray(str(arr.dtype))
+        payload[f"e{i}"] = (
+            arr.astype(jax.numpy.bfloat16).view(np.uint16)
+            if arr.dtype == np.float32 else arr
+        )
+    np.savez_compressed(out, **payload)
     print(f"[warmstart] wrote {out} from {ckpt.name} "
           f"(step {int(state.step)}, {out.stat().st_size / 1e6:.0f} MB)")
 
@@ -123,9 +128,16 @@ def restore(results_dir: Path, src: Path) -> None:
             out.append(jax.numpy.asarray(arr, dtype=leaf.dtype))
         return jax.tree_util.tree_unflatten(treedef, out)
 
+    ema = rebuild(state.ema_params, "e")
+    if "n_p" in z.files:  # legacy two-tree snapshot
+        params = rebuild(state.params, "p")
+    else:
+        params = jax.tree_util.tree_map(
+            lambda leaf, e: jax.numpy.asarray(e, dtype=leaf.dtype),
+            state.params, ema)
     state = state.replace(
-        params=rebuild(state.params, "p"),
-        ema_params=rebuild(state.ema_params, "e"),
+        params=params,
+        ema_params=ema,
         step=jax.numpy.asarray(int(z["step"]), state.step.dtype),
         scale_factor=jax.numpy.asarray(
             float(z["scale_factor"]), state.scale_factor.dtype),
