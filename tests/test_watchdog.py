@@ -19,7 +19,12 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
-from watchdog import newest_milestone, run_watched  # noqa: E402
+import watchdog as wd  # noqa: E402
+from watchdog import (  # noqa: E402
+    bootstrap_from_warmstart,
+    newest_milestone,
+    run_watched,
+)
 
 # Fake trainer: first launch (no milestone yet) heartbeats, saves model-1,
 # then hangs forever — simulating the axon futex-sleep stall. The resumed
@@ -81,6 +86,70 @@ def test_run_watched_kills_stalled_child_and_resumes(tmp_path):
     assert (tmp_path / "done").read_text() == "resumed-from-1"
     assert any("STALL" in l for l in logs)
     assert any("completed" in l for l in logs)
+
+
+def test_bootstrap_noop_paths(tmp_path, monkeypatch):
+    """No snapshot -> 0; an existing milestone wins without any restore
+    subprocess (the heavy path is exercised by tests/test_warmstart.py
+    and was driven on the real flagship milestone)."""
+
+    def _boom(*a, **k):
+        raise AssertionError("restore subprocess must not run")
+
+    monkeypatch.setattr(wd.subprocess, "run", _boom)
+    assert bootstrap_from_warmstart(tmp_path, log=lambda *_: None) == 0
+    (tmp_path / "model-4").mkdir()
+    (tmp_path / "warmstart.npz").write_bytes(b"not-a-real-npz")
+    assert bootstrap_from_warmstart(tmp_path, log=lambda *_: None) == 4
+
+
+def test_bootstrap_invokes_restore_when_only_snapshot_exists(
+        tmp_path, monkeypatch):
+    (tmp_path / "warmstart.npz").write_bytes(b"payload")
+    calls = []
+
+    class _RC:
+        returncode = 0
+
+    def fake_run(cmd, **kw):
+        calls.append(cmd)
+        (tmp_path / "model-7").mkdir()  # what a real restore produces
+        return _RC()
+
+    monkeypatch.setattr(wd.subprocess, "run", fake_run)
+    got = bootstrap_from_warmstart(tmp_path, log=lambda *_: None)
+    assert got == 7
+    assert calls and calls[0][1].endswith("warmstart.py")
+    assert calls[0][2:] == ["restore", str(tmp_path)]
+
+
+def test_run_watched_bootstraps_when_no_milestone(tmp_path):
+    """VM-restore recovery wiring: with no model-N on disk, run_watched
+    must consult the bootstrap hook and launch at ITS milestone."""
+    script = tmp_path / "child.py"
+    script.write_text(textwrap.dedent("""
+        import sys
+        from pathlib import Path
+        out = Path(sys.argv[1])
+        (out / "heartbeat").write_text("alive")
+        (out / "done").write_text(f"started-at-{sys.argv[2]}")
+        sys.exit(0)
+    """))
+
+    def bootstrap():
+        (tmp_path / "model-6").mkdir()  # snapshot rebuilt a milestone
+        return 6
+
+    def make_cmd(resume):
+        return [sys.executable, "-S", str(script), str(tmp_path), str(resume)]
+
+    rc = run_watched(
+        make_cmd, tmp_path,
+        timeout=5.0, poll=0.1, grace=60.0, max_restarts=1,
+        bootstrap=bootstrap, log=lambda *_: None,
+    )
+    assert rc == 0
+    assert (tmp_path / "done").read_text() == "started-at-6"
 
 
 def test_run_watched_gives_up(tmp_path):

@@ -14,6 +14,11 @@ Usage:
 A SIGSTOP'd child (bench.py pausing the trainer to quiesce the chip) is
 recognized via /proc state 'T' and never counted as stalled.
 
+If NO milestone exists at launch but results/warmstart.npz does (committed
+by tools/r4_snapshot_watcher.sh), a milestone is first rebuilt from the
+snapshot (tools/warmstart.py restore) — automatic recovery from the
+VM-restore class of incident that wipes gitignored orbax dirs.
+
 Library: run_watched() is generic over any (resume_milestone -> argv)
 command factory; tests/test_watchdog.py drives it with a fake trainer.
 """
@@ -55,6 +60,35 @@ def newest_milestone(results_dir: Path) -> int:
     return best
 
 
+def bootstrap_from_warmstart(results_dir: Path, log=print) -> int:
+    """Disaster-recovery bootstrap (the 2026-08-18 08:08 VM restore class).
+
+    A VM restore re-materialises the repo from git: gitignored orbax
+    milestones (model-N/) vanish, but a COMMITTED results_dir/warmstart.npz
+    (tools/warmstart.py snapshot, written by tools/r4_snapshot_watcher.sh)
+    survives. When no milestone exists but the snapshot does, rebuild a
+    milestone from it in a subprocess (host-side CPU; isolates the ~GB of
+    restore temporaries from this long-lived supervisor).
+
+    Returns the newest milestone now available (0 if nothing to restore).
+    """
+    ms = newest_milestone(results_dir)
+    npz = results_dir / "warmstart.npz"
+    if ms or not npz.exists():
+        return ms
+    log(f"[watchdog] no orbax milestone but {npz} exists — "
+        "rebuilding one from the warm-start snapshot")
+    script = Path(__file__).resolve().parent / "warmstart.py"
+    rc = subprocess.run(
+        [sys.executable, str(script), "restore", str(results_dir)],
+        timeout=1800,
+    ).returncode
+    if rc != 0:
+        log(f"[watchdog] warmstart restore failed rc={rc} — starting cold")
+        return 0
+    return newest_milestone(results_dir)
+
+
 def _relay_up() -> bool:
     """True iff the axon loopback relay accepts connections (or there is
     no axon plugin at all — CPU boxes have no relay to wait for)."""
@@ -80,6 +114,7 @@ def run_watched(
     max_pause: float = 7200.0,
     keepalive_fresh: float = 180.0,
     relay_wait: bool = False,
+    bootstrap: Callable[[], int] | None = None,
     log=print,
 ) -> int:
     """Run make_cmd(resume_milestone) under stall supervision.
@@ -111,6 +146,10 @@ def run_watched(
                 time.sleep(60.0)
                 waited += 60.0
         resume = newest_milestone(results_dir)
+        if resume == 0 and bootstrap is not None:
+            # nothing on disk to resume from — maybe a committed warm-start
+            # snapshot can rebuild a milestone (VM-restore recovery)
+            resume = bootstrap()
         cmd = make_cmd(resume)
         launch_t = time.time()
         log(f"[watchdog] launch (resume={resume}): {' '.join(cmd)}")
@@ -212,7 +251,8 @@ def main():
                 str(resume)]
 
     rc = run_watched(make_cmd, results, timeout=timeout, grace=grace,
-                     relay_wait=True)
+                     relay_wait=True,
+                     bootstrap=lambda: bootstrap_from_warmstart(results))
     summary = results / "summary.json"
     if summary.exists():
         print(json.dumps(json.loads(summary.read_text())))
