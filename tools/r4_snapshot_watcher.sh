@@ -14,6 +14,9 @@ python tools/warmstart.py snapshot >> "$LOG" 2>&1
 echo "[snapshot_watcher] warmstart rc=$? $(date)" >> "$LOG"
 if [ -f results/long_run/warmstart.npz ]; then
   git add -f results/long_run/warmstart.npz
+  # pathspec'd commit: this watcher fires asynchronously and must never
+  # sweep in whatever else happens to be staged at that moment
   git commit -q -m "Warm-start snapshot of the round-4 flagship milestone (VM-restore insurance)" \
+    -- results/long_run/warmstart.npz \
     && echo "[snapshot_watcher] committed $(date)" >> "$LOG"
 fi

@@ -33,7 +33,6 @@ Both run host-side (forced CPU): no chip needed, safe while a trainer owns it.
 
 from __future__ import annotations
 
-import re
 import sys
 from pathlib import Path
 
@@ -41,15 +40,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np
 
+from tools.watchdog import newest_milestone
+
 DEFAULT_DIR = "results/long_run"
-
-
-def _newest_milestone(results_dir: Path) -> int:
-    ms = [int(d.name.split("-")[1]) for d in results_dir.iterdir()
-          if d.is_dir() and re.fullmatch(r"model-\d+", d.name)]
-    if not ms:
-        raise SystemExit(f"no model-* milestone under {results_dir}")
-    return max(ms)
 
 
 def _build():
@@ -79,7 +72,10 @@ def snapshot(results_dir: Path, out: Path) -> None:
 
     make_state = _build()
     template = jax.eval_shape(make_state)
-    ckpt = results_dir / f"model-{_newest_milestone(results_dir)}"
+    ms = newest_milestone(results_dir)
+    if not ms:
+        raise SystemExit(f"no model-* milestone under {results_dir}")
+    ckpt = results_dir / f"model-{ms}"
     with ocp.StandardCheckpointer() as ckptr:
         state = ckptr.restore(str(ckpt.absolute()), template)
 

@@ -74,16 +74,28 @@ def bootstrap_from_warmstart(results_dir: Path, log=print) -> int:
     """
     ms = newest_milestone(results_dir)
     npz = results_dir / "warmstart.npz"
+    marker = results_dir / ".warmstart_restore_failed"
     if ms or not npz.exists():
         return ms
+    if marker.exists():
+        # a deterministic failure (e.g. snapshot from a changed model
+        # definition) must not re-burn minutes of CPU restore work before
+        # every one of max_restarts relaunches
+        log("[watchdog] warmstart restore previously failed "
+            f"({marker}) — starting cold")
+        return 0
     log(f"[watchdog] no orbax milestone but {npz} exists — "
         "rebuilding one from the warm-start snapshot")
     script = Path(__file__).resolve().parent / "warmstart.py"
-    rc = subprocess.run(
-        [sys.executable, str(script), "restore", str(results_dir)],
-        timeout=1800,
-    ).returncode
+    try:
+        rc = subprocess.run(
+            [sys.executable, str(script), "restore", str(results_dir)],
+            timeout=1800,
+        ).returncode
+    except subprocess.TimeoutExpired:
+        rc = -2  # the supervisor must survive a slow restore, not crash
     if rc != 0:
+        marker.write_text(f"rc={rc}\n")
         log(f"[watchdog] warmstart restore failed rc={rc} — starting cold")
         return 0
     return newest_milestone(results_dir)
