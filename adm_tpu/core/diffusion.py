@@ -335,7 +335,11 @@ class DDPM:
         init_noise: Optional[Array] = None,
         ref: Optional[Array] = None,
         encoder_reuse: int = 1,
+        order: int = 1,
     ) -> Array:
+        """order=2 (Heun, beyond reference) applies to the deterministic
+        sampler families only; the stochastic sampler ignores it (its step
+        noise dominates the discretization term the correction cancels)."""
         h, w = self.image_size
         if cond is not None:
             batch_size = cond.shape[0]
@@ -355,7 +359,7 @@ class DDPM:
                     self.process, fn, shape, key, self.sampling_timesteps,
                     clip_x_start=self.clip_x_start, scale_input=self.scale_input,
                     unnormalize=False, final_clip=False, init_noise=init_noise,
-                    **enc_kw,
+                    order=order, **enc_kw,
                 )
             else:
                 res = sampling.sample_stochastic(
@@ -381,6 +385,7 @@ class DDPM:
                 scale_input=self.scale_input,
                 unnormalize=unnormalize,
                 init_noise=init_noise,
+                order=order,
                 **enc_kw,
             )
         # image-space sample_fn_s uses the quadratic (sigma^2-linear) grid

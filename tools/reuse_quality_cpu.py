@@ -10,6 +10,10 @@ table reads as "quality cost of reusing the encoder" on the calibrated
 anchor scale — the CPU counterpart of tools/sample_reuse_probe.py
 (which measures the on-chip speedup at a real milestone).
 
+The trained-tiny-model + anchor-scorer scaffold is shared with
+tools/heun_quality_cpu.py (the order=2 sampler study) via
+build_and_train / make_scorer.
+
 Usage: python tools/reuse_quality_cpu.py [steps=1000]
 Writes results/twin/reuse_quality.json + grids.
 """
@@ -36,25 +40,15 @@ N_REF = 2048
 SCORE_BS = 64
 
 
-def main():
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
-    out = Path("results/twin")
-    out.mkdir(parents=True, exist_ok=True)
-    # (LR horizon is passed directly to make_optimizer below — twin_train's
-    # module-level SCHED_TOTAL is not consulted by this script)
+def build_and_train(steps: int):
+    """Train the twin-config tiny flagship on procedural shapes (CPU).
 
+    Returns (model, state, data, train_wall_s)."""
     from adm_tpu.core.diffusion import DDPM
     from adm_tpu.data.synthetic import ShapesDataset
-    from adm_tpu.metrics.fid import compute_fid
-    from adm_tpu.metrics.metric import (
-        extract_features,
-        fid_feature_key,
-        load_inception_params,
-    )
     from adm_tpu.nn.unets import EDMPrecond
     from adm_tpu.train.state import EmaConfig, TrainState
     from adm_tpu.train.trainer import make_optimizer, make_train_step
-    from adm_tpu.utils.image import save_image_grid
 
     net = EDMPrecond(
         img_resolution=tw.RES, img_channels=3, sigma_data=1.0,
@@ -87,20 +81,29 @@ def main():
         key, sub = jax.random.split(key)
         state, metrics = step_fn(state, {"image": jnp.asarray(imgs)}, sub)
         if (it + 1) % 200 == 0:
-            print(f"[reuseq] step {it + 1}/{steps} "
+            print(f"[tinytrain] step {it + 1}/{steps} "
                   f"loss={float(metrics['loss']):.2f} "
                   f"({(time.time() - t0) / (it + 1):.2f} s/step)", flush=True)
+    return model, state, data, round(time.time() - t0, 1)
 
-    # ---- proxy-FID scaffolding (identical routing to twin_quality) ----
+
+def to_u8(img01):
+    return (img01 * 255).clip(0, 255).astype(np.uint8)
+
+
+def make_scorer(data):
+    """Proxy-FID scorer on the calibrated anchor scale (same '192'
+    routing as the long run). Returns (score, anchors) where
+    score(u8_images) -> float and anchors = {heldout, noise}."""
+    from adm_tpu.metrics.fid import compute_fid
+    from adm_tpu.metrics.metric import (
+        extract_features,
+        fid_feature_key,
+        load_inception_params,
+    )
+
     inc = load_inception_params("random")
     feat = fid_feature_key("random")
-
-    def to_u8(img01):
-        return (img01 * 255).clip(0, 255).astype(np.uint8)
-
-    def score(u8, ref):
-        f = extract_features(u8, inc, (feat,), SCORE_BS)[feat]
-        return float(compute_fid(jnp.asarray(f), ref))
 
     ref_u8 = to_u8(np.stack(
         [(data[500_000 + i]["image"] + 1) / 2 for i in range(N_REF)]
@@ -108,24 +111,50 @@ def main():
     ref_feats = jnp.asarray(
         extract_features(ref_u8, inc, (feat,), SCORE_BS)[feat]
     )
+
+    def score(u8):
+        f = extract_features(u8, inc, (feat,), SCORE_BS)[feat]
+        return float(compute_fid(jnp.asarray(f), ref_feats))
+
     held_u8 = to_u8(np.stack(
         [(data[700_000 + i]["image"] + 1) / 2 for i in range(N_SAMPLE)]
     ))
     noise_u8 = np.random.RandomState(3).randint(
         0, 256, held_u8.shape, dtype=np.uint8
     )
+    anchors = {
+        "anchor_heldout": round(score(held_u8), 4),
+        "anchor_noise": round(score(noise_u8), 4),
+        "feature": feat,
+    }
+    return score, anchors
+
+
+def shared_init_noise():
+    """The framework-neutral Philox stream used by every sampler study."""
+    return jnp.asarray(np.random.Generator(np.random.Philox(99))
+                       .standard_normal(
+                           (N_SAMPLE, tw.RES, tw.RES, 3), dtype=np.float32))
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    out = Path("results/twin")
+    out.mkdir(parents=True, exist_ok=True)
+    from adm_tpu.utils.image import save_image_grid
+
+    model, state, data, train_wall = build_and_train(steps)
+    score, anchors = make_scorer(data)
     report = {
-        "config": dict(steps=steps, batch=batch, res=tw.RES,
-                       n_sample=N_SAMPLE, n_ref=N_REF, feature=feat),
-        "train_wall_s": round(time.time() - t0, 1),
-        "anchor_heldout": round(score(held_u8, ref_feats), 4),
-        "anchor_noise": round(score(noise_u8, ref_feats), 4),
+        "config": dict(steps=steps, batch=16, res=tw.RES,
+                       n_sample=N_SAMPLE, n_ref=N_REF,
+                       feature=anchors["feature"]),
+        "train_wall_s": train_wall,
+        "anchor_heldout": anchors["anchor_heldout"],
+        "anchor_noise": anchors["anchor_noise"],
         "variants": {},
     }
-    init_noise = jnp.asarray(np.random.Generator(np.random.Philox(99))
-                             .standard_normal(
-                                 (N_SAMPLE, tw.RES, tw.RES, 3),
-                                 dtype=np.float32))
+    init_noise = shared_init_noise()
     base_img = None
     for k in (1, 2, 5, 10):
         t1 = time.time()
@@ -137,7 +166,7 @@ def main():
         if base_img is None:
             base_img = img
         report["variants"][f"reuse{k}"] = {
-            "proxy_fid": round(score(to_u8(img), ref_feats), 4),
+            "proxy_fid": round(score(to_u8(img)), 4),
             "pix_diff_vs_exact": round(
                 float(np.mean(np.abs(img - base_img))), 5
             ),
