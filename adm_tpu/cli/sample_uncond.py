@@ -38,6 +38,12 @@ def parse_args():
              "only in between (encoder propagation, arXiv 2312.09608); "
              "1 = exact reference sampler",
     )
+    p.add_argument(
+        "--order", type=int, default=1, choices=(1, 2),
+        help="deterministic-sampler order: 1 = reference Euler step, "
+             "2 = Heun (re-evaluate at the landing point, average the "
+             "estimates; 2 model evals per step)",
+    )
     return p.parse_args()
 
 
@@ -66,11 +72,11 @@ def main():
     model = with_restored_scale(model, state)
     weights = state.ema_params if use_ema else state.params
 
-    if args.rk45 and args.encoder_reuse != 1:
+    if args.rk45 and (args.encoder_reuse != 1 or args.order != 1):
         raise SystemExit(
-            "--encoder-reuse applies to the few-step sampler only; the "
-            "adaptive RK45 ODE path has no fixed step grid to reuse the "
-            "encoder across — drop one of the flags"
+            "--encoder-reuse/--order apply to the few-step sampler only; "
+            "the adaptive RK45 ODE path has no fixed step grid to reuse "
+            "the encoder across (and is already high-order) — drop a flag"
         )
     if args.rk45:
         from adm_tpu.core.ode import rk45_sample
@@ -96,7 +102,8 @@ def main():
         sample = jax.jit(
             lambda p, k: model.sample(p, k, batch_size=batch_size,
                                       unnormalize=True,
-                                      encoder_reuse=args.encoder_reuse)
+                                      encoder_reuse=args.encoder_reuse,
+                                      order=args.order)
         )
     batch_num = math.ceil(sample_num / batch_size)
     written = 0

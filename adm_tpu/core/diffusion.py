@@ -560,13 +560,16 @@ class LatentDiffusion(DDPM):
         ref: Optional[Array] = None,
         init_noise: Optional[Array] = None,
         encoder_reuse: int = 1,
+        order: int = 1,
     ):
         """`ref` (latent-space) is consumed by the residual process: the
         sampled residual is added to it before decoding, per
         ddm/ddm_res.py:846-870 (x_rec = decode(ref + z), no scale inverse).
         `init_noise` (latent-shaped, unit std) overrides the initial PRNG
         draw — the serving/export path's noise input. `encoder_reuse=k`:
-        encoder propagation in the LATENT sampler (uncond LDM only)."""
+        encoder propagation in the LATENT sampler (uncond LDM only).
+        `order=2`: Heun in the latent deterministic sampler (the
+        stochastic path ignores it)."""
         h, w = self.image_size
         if cond is not None:
             batch_size = cond.shape[0]
@@ -585,6 +588,7 @@ class LatentDiffusion(DDPM):
                 unnormalize=False,
                 final_clip=False,
                 init_noise=init_noise,
+                order=order,
                 **enc_kw,
             )
         else:

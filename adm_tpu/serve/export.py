@@ -32,13 +32,15 @@ import jax.numpy as jnp
 from jax import export as jexport
 
 
-def _sample_fn(model, unnormalize, with_cond, with_fs, encoder_reuse=1):
+def _sample_fn(model, unnormalize, with_cond, with_fs, encoder_reuse=1,
+               order=1):
     """Build the export callable. Argument order:
     (params, [fs_params,] noise, seed[, cond]). `noise` drives the initial
     draw (batch = noise.shape[0], possibly symbolic) and `seed` (scalar
     uint32) the stochastic sampler's intermediate renoise draws.
     `encoder_reuse` bakes encoder-propagation sampling (arXiv 2312.09608)
-    into the exported program (uncond DDPM only; see core/sampling.py)."""
+    into the exported program (uncond DDPM only; see core/sampling.py);
+    `order=2` bakes the Heun deterministic sampler."""
 
     def core(params, noise, seed, cond=None, fs_params=None):
         kw: dict = dict(unnormalize=unnormalize, init_noise=noise)
@@ -46,6 +48,8 @@ def _sample_fn(model, unnormalize, with_cond, with_fs, encoder_reuse=1):
             kw["cond"] = cond
         if fs_params is not None:
             kw["fs_params"] = fs_params
+        if order != 1:
+            kw["order"] = order
         if encoder_reuse != 1:
             kw["encoder_reuse"] = encoder_reuse
         return model.sample(
@@ -102,6 +106,7 @@ def export_sampler(
     symbolic_batch: bool = True,
     batch_size: int = 1,
     encoder_reuse: int = 1,
+    order: int = 1,
 ) -> bytes:
     """Serialize the full sampling program to portable StableHLO bytes.
 
@@ -111,11 +116,13 @@ def export_sampler(
     the VAE decode into the program, called with the first-stage params as
     the second argument. `batch_size` applies when symbolic_batch=False.
     `encoder_reuse=k` bakes encoder propagation into the artifact (uncond
-    DDPM only; quality table in BASELINE.md "Sampling acceleration").
+    DDPM only; quality table in BASELINE.md "Sampling acceleration");
+    `order=2` bakes the Heun deterministic sampler (quality table in
+    BASELINE.md, tools/heun_quality_cpu.py).
     """
     fn = _sample_fn(
         model, unnormalize, cond_shape is not None, fs_params is not None,
-        encoder_reuse,
+        encoder_reuse, order,
     )
     if symbolic_batch:
         (b,) = jexport.symbolic_shape("b")
