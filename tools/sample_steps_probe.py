@@ -75,21 +75,28 @@ def main():
         prev = json.loads(probe_json.read_text())
         if prev.get("milestone") == milestone and prev.get("n") == n:
             results.update(prev)
+    # heun5 computes exactly det10's 10 NFE (2 evals/step, the final
+    # correction is computed-and-discarded); heun10 computes 20, between
+    # det10 and det25 — "should extra NFE buy more Euler steps or 2nd
+    # order?" on the real milestone (CPU counterpart: heun_quality_cpu.py)
     variants = [
-        ("det10", dict(sampling_timesteps=10)),
-        ("det25", dict(sampling_timesteps=25)),
-        ("det50", dict(sampling_timesteps=50)),
-        ("stoch10", dict(sampling_timesteps=10, sample_type="stochastic")),
+        ("det10", dict(sampling_timesteps=10), {}),
+        ("det25", dict(sampling_timesteps=25), {}),
+        ("det50", dict(sampling_timesteps=50), {}),
+        ("stoch10", dict(sampling_timesteps=10, sample_type="stochastic"), {}),
+        ("heun5", dict(sampling_timesteps=5), dict(order=2)),
+        ("heun10", dict(sampling_timesteps=10), dict(order=2)),
     ]
-    for name, kw in variants:
+    for name, kw, sample_kw in variants:
         if name in results:
             print(f"[steps_probe] {name}: cached "
                   f"proxy_fid={results[name]['proxy_fid']}", flush=True)
             continue
         model = dataclasses.replace(base, **kw)
         sampler = jax.jit(
-            lambda p, k, m=model: m.sample(p, k, batch_size=bs,
-                                           unnormalize=True)
+            lambda p, k, m=model, skw=sample_kw: m.sample(
+                p, k, batch_size=bs, unnormalize=True, **skw
+            )
         )
         t0 = time.time()
         frames = []
