@@ -156,13 +156,17 @@ def aot_compile_sampler(
     cond_shape: Optional[Tuple[int, ...]] = None,
     fs_params: Any = None,
     unnormalize: bool = True,
+    encoder_reuse: int = 1,
+    order: int = 1,
 ):
     """Ahead-of-time compile for a warm-started server: returns
     (compiled_executable, flops_estimate). The executable is called with
     concrete (params, [fs_params,] noise, seed[, cond]) of the lowered
-    shapes — no compile on the first request."""
+    shapes — no compile on the first request. `encoder_reuse`/`order`
+    select the accelerated sampler variants (see export_sampler)."""
     fn = _sample_fn(
-        model, unnormalize, cond_shape is not None, fs_params is not None
+        model, unnormalize, cond_shape is not None, fs_params is not None,
+        encoder_reuse, order,
     )
     lowered = jax.jit(fn).lower(
         *_specs(model, params, cond_shape, fs_params, batch_size)
