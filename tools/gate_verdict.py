@@ -78,6 +78,11 @@ def main():
             round(probe["det10"]["proxy_fid"] - probe["det25"]["proxy_fid"], 4)
             if probe.get("det10") and probe.get("det25") else None
         ),
+        # the matched-NFE sampler upgrade (order=2 at det10's budget):
+        # how much of the judged value the Heun sampler recovers for free
+        "heun5_at_matched_nfe_proxy_fid": (
+            probe["heun5"]["proxy_fid"] if probe.get("heun5") else None
+        ),
         "passed": bool(final is not None and final <= GATE),
     }
     (OUT / "gate_verdict.json").write_text(json.dumps(verdict, indent=1))
