@@ -124,6 +124,25 @@ def test_ddpm_sample_order2_jits_and_differs(model_and_params):
     assert 0 < diff < 0.5, diff  # a correction, not a different sample
 
 
+@pytest.mark.slow
+def test_aot_compile_bakes_order2(model_and_params):
+    """The serving warm-start path must lower/compile the Heun sampler
+    and produce the same pixels as DDPM.sample(order=2)."""
+    from adm_tpu.serve.export import aot_compile_sampler
+
+    model, params = model_and_params
+    compiled, _ = aot_compile_sampler(model, params, batch_size=2, order=2)
+    noise = jax.random.normal(jax.random.PRNGKey(7), (2, RES, RES, 3))
+    served = compiled(params, noise, jnp.uint32(0))
+    direct = jax.jit(
+        lambda p: model.sample(p, jax.random.PRNGKey(0), batch_size=2,
+                               init_noise=noise, order=2)
+    )(params)
+    np.testing.assert_allclose(
+        np.asarray(served), np.asarray(direct), atol=1e-5
+    )
+
+
 def test_order2_composes_with_encoder_reuse(model_and_params):
     """The correction eval decodes over the step's cached encoder state:
     must jit, stay finite, and stay near the plain order=2 sampler."""
