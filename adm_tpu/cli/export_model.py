@@ -47,6 +47,13 @@ def main(argv=None):
                    help="export a fixed batch instead of symbolic")
     p.add_argument("--save-params", action="store_true",
                    help="also write <out>.params.npz")
+    p.add_argument("--encoder-reuse", type=int, default=1, metavar="K",
+                   help="bake encoder-propagation sampling: recompute the "
+                        "UNet encoder every K steps (1 = exact reference "
+                        "sampler; quality table in BASELINE.md)")
+    p.add_argument("--order", type=int, default=1, choices=(1, 2),
+                   help="bake sampler order: 1 = reference Euler step, "
+                        "2 = Heun (deterministic family only)")
     args = p.parse_args(argv)
 
     cfg = load_conf(args.cfg)
@@ -80,6 +87,8 @@ def main(argv=None):
         cond_shape=getattr(model, "cond_shape", None),
         symbolic_batch=args.fixed_batch is None,
         batch_size=args.fixed_batch or 1,
+        encoder_reuse=args.encoder_reuse,
+        order=args.order,
     )
     log.info("wrote %s.stablehlo (%.1f KiB)", args.out, len(data) / 1024)
     if args.save_params:

@@ -338,8 +338,23 @@ class DDPM:
         order: int = 1,
     ) -> Array:
         """order=2 (Heun, beyond reference) applies to the deterministic
-        sampler families only; the stochastic sampler ignores it (its step
-        noise dominates the discretization term the correction cancels)."""
+        sampler families only; the stochastic sampler has no use for it (its
+        step noise dominates the discretization term the correction cancels),
+        so requesting it on a stochastic-routed model raises instead of
+        silently sampling first-order."""
+        if order not in (1, 2):
+            raise ValueError(f"order must be 1 or 2, got {order}")
+        stochastic_route = (
+            self.sample_type != "deterministic" or self.process_name == "linear"
+        )
+        if order != 1 and stochastic_route:
+            raise ValueError(
+                "order=2 (Heun) applies to the deterministic sampler family "
+                f"only; this model routes to the stochastic sampler "
+                f"(sample_type={self.sample_type!r}, "
+                f"process={self.process_name!r}) — drop order or use a "
+                "deterministic sample_type"
+            )
         h, w = self.image_size
         if cond is not None:
             batch_size = cond.shape[0]

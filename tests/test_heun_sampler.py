@@ -158,3 +158,18 @@ def test_order2_composes_with_encoder_reuse(model_and_params):
     )(params, jax.random.PRNGKey(4))
     assert np.isfinite(np.asarray(fused)).all()
     assert float(jnp.abs(fused - plain).mean()) < 5e-2
+
+
+def test_stochastic_route_rejects_order2(model_and_params):
+    """DDPM.sample must fail loudly, not silently sample first-order, when
+    order=2 is requested on a stochastic-routed model (review r4d): the
+    stochastic family has no Heun variant (diffusion.py routing)."""
+    import dataclasses
+
+    model, params = model_and_params
+    stoch = dataclasses.replace(model, sample_type="stochastic")
+    with pytest.raises(ValueError, match="stochastic"):
+        stoch.sample(params, jax.random.PRNGKey(0), batch_size=1, order=2)
+    # invalid order values are rejected at the DDPM surface too
+    with pytest.raises(ValueError, match="order"):
+        model.sample(params, jax.random.PRNGKey(0), batch_size=1, order=7)

@@ -133,3 +133,35 @@ def test_export_with_encoder_reuse(tmp_path):
     np.testing.assert_allclose(
         np.asarray(served), np.asarray(direct), atol=1e-5, rtol=1e-5
     )
+
+
+def test_export_model_cli_bakes_order2(tmp_path):
+    """The export CLI's --order flag (review r4d) must reach the artifact:
+    exported pixels match DDPM.sample(order=2) from the same (initial)
+    weights — the CLI path, not just serve.export_sampler, bakes Heun."""
+    from pathlib import Path
+
+    from adm_tpu.cli import export_model
+    from adm_tpu.utils.config import build_model, load_conf
+
+    REPO = Path(__file__).resolve().parents[1]
+    cfg_path = REPO / "tests/configs/tiny_uncond.yaml"
+    out = tmp_path / "tiny_heun"
+    export_model.main([
+        "--cfg", str(cfg_path), "--out", str(out),
+        "--platforms", "cpu", "--fixed-batch", "2", "--order", "2",
+    ])
+
+    model = build_model(load_conf(str(cfg_path))["model"])
+    params = jax.jit(model.init)(jax.random.PRNGKey(0))
+    noise = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 16, 3))
+    served = load_sampler(str(out) + ".stablehlo")(
+        params, noise, jnp.uint32(7)
+    )
+    direct = model.sample(
+        params, jax.random.PRNGKey(7), batch_size=2,
+        unnormalize=True, init_noise=noise, order=2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(served), np.asarray(direct), atol=1e-5, rtol=1e-5
+    )

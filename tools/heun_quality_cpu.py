@@ -37,6 +37,7 @@ sys.path.insert(0, str(REPO / "tools"))
 import jax
 import numpy as np
 
+import reuse_quality_cpu as rq
 from reuse_quality_cpu import (
     build_and_train,
     make_scorer,
@@ -62,7 +63,8 @@ def main():
     model, state, data, train_wall = build_and_train(steps)
     score, anchors = make_scorer(data)
     report = {
-        "config": dict(steps=steps, feature=anchors["feature"]),
+        "config": dict(steps=steps, batch=rq.BATCH, res=rq.tw.RES,
+                       feature=anchors["feature"]),
         "train_wall_s": train_wall,
         "anchor_heldout": anchors["anchor_heldout"],
         "anchor_noise": anchors["anchor_noise"],

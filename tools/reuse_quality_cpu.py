@@ -38,12 +38,17 @@ import twin_train as tw
 N_SAMPLE = 256
 N_REF = 2048
 SCORE_BS = 64
+BATCH = 16
 
 
 def build_and_train(steps: int):
     """Train the twin-config tiny flagship on procedural shapes (CPU).
 
-    Returns (model, state, data, train_wall_s)."""
+    The trained EMA is cached under results/twin/ so the studies sharing
+    this scaffold (this one and tools/heun_quality_cpu.py) pay the
+    ~28-min CPU training once, not per run. Returns
+    (model, state, data, train_wall_s) — train_wall_s is 0.0 on a cache
+    hit."""
     from adm_tpu.core.diffusion import DDPM
     from adm_tpu.data.synthetic import ShapesDataset
     from adm_tpu.nn.unets import EDMPrecond
@@ -68,22 +73,42 @@ def build_and_train(steps: int):
         weight_decay=tw.WD,
     )
     state = TrainState.create(params, optimizer.init(params))
+    data = ShapesDataset(image_size=(tw.RES, tw.RES))
+
+    cache_f = REPO / "results/twin" / f"tinyflagship_ema_{steps}.npz"
+    leaves, treedef = jax.tree_util.tree_flatten(state.ema_params)
+    if cache_f.exists():
+        z = np.load(cache_f)
+        cached = [z[f"l{i}"] for i in range(int(z["n_leaves"]))]
+        if len(cached) == len(leaves) and all(
+            c.shape == tuple(l.shape) for c, l in zip(cached, leaves)
+        ):
+            ema = jax.tree_util.tree_unflatten(
+                treedef, [jnp.asarray(c) for c in cached]
+            )
+            print(f"[tinytrain] reusing cached EMA {cache_f}", flush=True)
+            return model, state.replace(ema_params=ema), data, 0.0
+        print(f"[tinytrain] cache {cache_f} shape-mismatched; retraining",
+              flush=True)
+
     ema_cfg = EmaConfig(beta=tw.EMA_BETA, update_after_step=tw.EMA_AFTER,
                         update_every=tw.EMA_EVERY)
     step_fn = jax.jit(make_train_step(model, optimizer, ema_cfg))
 
-    data = ShapesDataset(image_size=(tw.RES, tw.RES))
-    batch = 16
     key = jax.random.PRNGKey(11)
     t0 = time.time()
     for it in range(steps):
-        imgs = np.stack([data[it * batch + i]["image"] for i in range(batch)])
+        imgs = np.stack([data[it * BATCH + i]["image"] for i in range(BATCH)])
         key, sub = jax.random.split(key)
         state, metrics = step_fn(state, {"image": jnp.asarray(imgs)}, sub)
         if (it + 1) % 200 == 0:
             print(f"[tinytrain] step {it + 1}/{steps} "
                   f"loss={float(metrics['loss']):.2f} "
                   f"({(time.time() - t0) / (it + 1):.2f} s/step)", flush=True)
+    cache_f.parent.mkdir(parents=True, exist_ok=True)
+    trained = jax.tree_util.tree_leaves(state.ema_params)
+    np.savez(cache_f, n_leaves=len(trained),
+             **{f"l{i}": np.asarray(l) for i, l in enumerate(trained)})
     return model, state, data, round(time.time() - t0, 1)
 
 
@@ -146,7 +171,7 @@ def main():
     model, state, data, train_wall = build_and_train(steps)
     score, anchors = make_scorer(data)
     report = {
-        "config": dict(steps=steps, batch=16, res=tw.RES,
+        "config": dict(steps=steps, batch=BATCH, res=tw.RES,
                        n_sample=N_SAMPLE, n_ref=N_REF,
                        feature=anchors["feature"]),
         "train_wall_s": train_wall,
