@@ -149,6 +149,13 @@ def test_midcompile_freezes_watchdog_until_after_the_window(tmp_path):
                     time.time() < deadline:
                 time.sleep(0.1)
             assert _state(trainer_pid) in ("Z", "X"), logs
+            # SIGSTOP is sent before the trainer kill, but the group-stop
+            # transition needs the target scheduled once — under a loaded
+            # box the one-shot read raced it ('R'), same flaky-by-margin
+            # class as the r3 watchdog test. Bounded wait, then assert.
+            deadline = time.time() + 10
+            while _state(wd.pid) != "T" and time.time() < deadline:
+                time.sleep(0.1)
             assert _state(wd.pid) == "T", logs
             assert not (tmp_path / "relaunched").exists()
         # thawed watchdog reaps the child and "relaunches"
