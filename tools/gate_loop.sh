@@ -1,0 +1,57 @@
+#!/bin/bash
+# Self-perpetuating train->gate->extend loop (supersedes the one-shot
+# tools/r4_post_100k.sh, which armed the current 160k extension).
+#
+# Each iteration: wait for the supervising watchdog to exit (step target
+# reached, or it gave up), re-run the acceptance-gate protocol at the
+# newest milestone (50k-sample proxy-FID/ISC/KID + Euler-vs-Heun steps
+# probe + gate_verdict), then relaunch the watchdog with the target
+# extended by STEP_INC on the reference 800k LR horizon (warm compile
+# cache). Guard: if the newest milestone did not advance across an
+# iteration, the previous segment made no progress (wedged relay, repeated
+# stalls) — stop instead of spinning gate evals on the same checkpoint.
+#
+# Usage: setsid nohup bash tools/gate_loop.sh [STEP_INC=60000] &
+set -u
+cd "$(dirname "$0")/.."
+LOG=results/r4_queue.log
+INC="${1:-60000}"
+echo "[gate_loop] armed inc=$INC $(date)" >> "$LOG"
+
+wd_alive() {
+  WPID=$(cat results/long_run/watchdog.pid 2>/dev/null || echo 0)
+  [ "$WPID" -gt 0 ] && grep -q "watchdog\.py" /proc/$WPID/cmdline 2>/dev/null
+}
+
+newest_ms() {
+  ls -d results/long_run/model-* 2>/dev/null | sed 's/.*model-//' | sort -n | tail -1
+}
+
+LAST_GATED=0
+while true; do
+  while wd_alive; do sleep 120; done
+  MS=$(newest_ms)
+  if [ -z "$MS" ]; then
+    echo "[gate_loop] no milestone; stopping $(date)" >> "$LOG"; exit 1
+  fi
+  if [ "$MS" -le "$LAST_GATED" ]; then
+    echo "[gate_loop] milestone $MS did not advance past $LAST_GATED; stopping $(date)" >> "$LOG"
+    exit 1
+  fi
+  echo "[gate_loop] gating at milestone $MS $(date)" >> "$LOG"
+  bash tools/wait_relay.sh
+  timeout 7200 python tools/eval_fid.py 50000 >> "$LOG" 2>&1
+  echo "[gate_loop] eval_fid rc=$? $(date)" >> "$LOG"
+  bash tools/wait_relay.sh
+  timeout 7200 python tools/sample_steps_probe.py "$MS" 1024 >> "$LOG" 2>&1
+  echo "[gate_loop] steps_probe rc=$? milestone=$MS $(date)" >> "$LOG"
+  python tools/gate_verdict.py >> "$LOG" 2>&1
+  echo "[gate_loop] gate recorded at milestone $MS $(date)" >> "$LOG"
+  LAST_GATED=$MS
+  NEXT=$(( MS * 2000 + INC ))
+  bash tools/wait_relay.sh
+  ADM_TPU_SCHED_TOTAL=800000 setsid nohup python tools/watchdog.py "$NEXT" \
+    > "results/long_run/watchdog_to_${NEXT}.log" 2>&1 &
+  sleep 30
+  echo "[gate_loop] extension to $NEXT, watchdog pid $(cat results/long_run/watchdog.pid 2>/dev/null) $(date)" >> "$LOG"
+done
