@@ -46,7 +46,7 @@ def main():
     params = jax.jit(model.init)(jax.random.PRNGKey(0))
 
     out = (Path("/tmp/perf_tiny.jsonl") if TINY
-           else Path(__file__).resolve().parents[1] / "PERF_r3.jsonl")
+           else Path(__file__).resolve().parents[1] / "PERF_r4.jsonl")
     rows = []
     for bs in BATCHES:
         sample = jax.jit(
