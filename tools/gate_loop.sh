@@ -47,6 +47,15 @@ while true; do
   echo "[gate_loop] steps_probe rc=$? milestone=$MS $(date)" >> "$LOG"
   python tools/gate_verdict.py >> "$LOG" 2>&1
   echo "[gate_loop] gate recorded at milestone $MS $(date)" >> "$LOG"
+  # refresh the committed VM-restore insurance (host-side, no chip);
+  # pathspec'd commit so an async fire never sweeps staged work
+  python tools/warmstart.py snapshot >> "$LOG" 2>&1
+  if [ -f results/long_run/warmstart.npz ]; then
+    git add -f results/long_run/warmstart.npz
+    git commit -q -m "Warm-start snapshot refresh (VM-restore insurance)" \
+      -- results/long_run/warmstart.npz \
+      && echo "[gate_loop] warmstart committed $(date)" >> "$LOG"
+  fi
   LAST_GATED=$MS
   NEXT=$(( MS * 2000 + INC ))
   bash tools/wait_relay.sh
