@@ -187,3 +187,36 @@ def test_frozen_buffers_optimizer():
     ref = optax.apply_updates({"params": params["params"]}, up2)
     np.testing.assert_allclose(new["params"]["w"], ref["params"]["w"],
                                rtol=1e-6)
+
+
+def test_ckpt_every_milestones_skips_writes(tiny_setup, tmp_path):
+    """ckpt_every_milestones=N writes orbax only at every Nth milestone
+    (sample_fn still fires at ALL of them) and ALWAYS persists the final
+    milestone of a segment, even when its number is off-cadence. On the
+    tunneled axon chip the save is D2H-bound (~160 s for the 3 GB flagship
+    state), 85% of milestone overhead — this knob is the long run's
+    sustained-throughput lever (tools/train_long.py)."""
+    cfg, model, data_iter = tiny_setup
+    seen = []
+
+    def sample_fn(trainer, milestone):
+        seen.append(milestone)
+
+    trainer = _make_trainer(
+        cfg, model, data_iter, results_folder=str(tmp_path),
+        save_and_sample_every=2, log_freq=2, ckpt_every_milestones=2,
+    )
+    # 6 steps -> milestones 1 (skip), 2 (cadence save), 3 (final: forced)
+    trainer.train(num_steps=6, sample_fn=sample_fn)
+    assert seen == [1, 2, 3]
+    assert not (tmp_path / "model-1").exists()
+    assert (tmp_path / "model-2").is_dir()
+    assert (tmp_path / "model-3").is_dir(), "final milestone must always save"
+
+    # resume from the forced final save continues at the true step
+    t2 = _make_trainer(
+        cfg, model, data_iter, results_folder=str(tmp_path),
+        save_and_sample_every=2, log_freq=2, ckpt_every_milestones=2,
+        resume_milestone=3,
+    )
+    assert int(t2.state.step) == 6

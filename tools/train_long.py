@@ -216,6 +216,10 @@ def main():
         warmup_steps=500,
         gradient_accumulate_every=1,
         save_and_sample_every=2000,
+        # orbax writes are D2H-tunnel-bound (~160 s each, 85% of milestone
+        # overhead); every 2nd milestone recovers ~11% sustained throughput
+        # for up to 4000 steps of resume granularity on a stall
+        ckpt_every_milestones=int(os.environ.get("ADM_TPU_CKPT_EVERY_MS", "2")),
         log_freq=200,
         results_folder=str(out),
         ema_cfg=EmaConfig(update_after_step=1000, update_every=8),
