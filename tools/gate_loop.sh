@@ -23,17 +23,20 @@ wd_alive() {
   [ "$WPID" -gt 0 ] && grep -q "watchdog\.py" /proc/$WPID/cmdline 2>/dev/null
 }
 
+# STRICT filter (advisor r4): completed milestones only — the bare glob
+# also matched orbax temp dirs and fed bogus strings downstream.
 newest_ms() {
-  ls -d results/long_run/model-* 2>/dev/null | sed 's/.*model-//' | sort -n | tail -1
+  ls -d results/long_run/model-* 2>/dev/null \
+    | grep -E '/model-[0-9]+$' | sed 's/.*model-//' | sort -n | tail -1
 }
 
 LAST_GATED=0
 while true; do
   while wd_alive; do sleep 120; done
   MS=$(newest_ms)
-  if [ -z "$MS" ]; then
-    echo "[gate_loop] no milestone; stopping $(date)" >> "$LOG"; exit 1
-  fi
+  case "$MS" in ''|*[!0-9]*)
+    echo "[gate_loop] no milestone; stopping $(date)" >> "$LOG"; exit 1;;
+  esac
   if [ "$MS" -le "$LAST_GATED" ]; then
     echo "[gate_loop] milestone $MS did not advance past $LAST_GATED; stopping $(date)" >> "$LOG"
     exit 1
@@ -48,14 +51,17 @@ while true; do
   python tools/gate_verdict.py >> "$LOG" 2>&1
   echo "[gate_loop] gate recorded at milestone $MS $(date)" >> "$LOG"
   # refresh the committed VM-restore insurance (host-side, no chip);
-  # pathspec'd commit so an async fire never sweeps staged work
-  python tools/warmstart.py snapshot >> "$LOG" 2>&1
-  if [ -f results/long_run/warmstart.npz ]; then
-    git add -f results/long_run/warmstart.npz
+  # pathspec'd commit so an async fire never sweeps staged work. flock
+  # serializes against snapshot_loop.sh's identical block (advisor r4).
+  flock results/long_run/.gitcommit.lock bash -c '
+    python tools/warmstart.py snapshot >> "'"$LOG"'" 2>&1 || exit 1
+    [ -f results/long_run/warmstart.npz ] || exit 1
+    git add -f results/long_run/warmstart.npz || { echo "[gate_loop] git add failed $(date)" >> "'"$LOG"'"; exit 1; }
     git commit -q -m "Warm-start snapshot refresh (VM-restore insurance)" \
       -- results/long_run/warmstart.npz \
-      && echo "[gate_loop] warmstart committed $(date)" >> "$LOG"
-  fi
+      && echo "[gate_loop] warmstart committed $(date)" >> "'"$LOG"'" \
+      || echo "[gate_loop] warmstart commit failed $(date)" >> "'"$LOG"'"
+  '
   LAST_GATED=$MS
   NEXT=$(( MS * 2000 + INC ))
   bash tools/wait_relay.sh

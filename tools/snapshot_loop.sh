@@ -7,30 +7,38 @@
 # it pathspec'd. Bounds the worst-case loss on a VM restore to one
 # interval of training.
 #
-# Usage: setsid nohup bash tools/snapshot_loop.sh [INTERVAL=1800] &
+# Usage: setsid nohup bash tools/snapshot_loop.sh [INTERVAL=5400] &
 set -u
 cd "$(dirname "$0")/.."
 LOG=results/r4_queue.log
-INTERVAL="${1:-1800}"
+INTERVAL="${1:-5400}"
+GITLOCK=results/long_run/.gitcommit.lock
 echo "[snapshot_loop] armed interval=${INTERVAL}s $(date)" >> "$LOG"
 
+# STRICT filter (advisor r4, medium): completed milestones only. The bare
+# model-* glob also matched orbax temp dirs (model-N.orbax-checkpoint-tmp-*),
+# which poisoned the advancement guard with non-integer strings.
 newest_ms() {
-  ls -d results/long_run/model-* 2>/dev/null | sed 's/.*model-//' | sort -n | tail -1
+  ls -d results/long_run/model-* 2>/dev/null \
+    | grep -E '/model-[0-9]+$' | sed 's/.*model-//' | sort -n | tail -1
 }
 
 LAST=0
 while true; do
   sleep "$INTERVAL"
   MS=$(newest_ms)
-  [ -z "$MS" ] && continue
+  case "$MS" in ''|*[!0-9]*) continue;; esac
   [ "$MS" -le "$LAST" ] && continue
-  python tools/warmstart.py snapshot >> "$LOG" 2>&1 || continue
-  if [ -f results/long_run/warmstart.npz ]; then
-    git add -f results/long_run/warmstart.npz
-    # pathspec'd commit: fires asynchronously, must never sweep staged work
-    git commit -q -m "Warm-start snapshot refresh (periodic VM-restore insurance, milestone $MS)" \
+  # flock serializes against gate_loop.sh's snapshot+commit block: two
+  # concurrent warmstart.py writers or git commits would race (advisor r4)
+  flock "$GITLOCK" bash -c '
+    python tools/warmstart.py snapshot >> "'"$LOG"'" 2>&1 || exit 1
+    [ -f results/long_run/warmstart.npz ] || exit 1
+    git add -f results/long_run/warmstart.npz || { echo "[snapshot_loop] git add failed $(date)" >> "'"$LOG"'"; exit 1; }
+    # pathspec'"'"'d commit: fires asynchronously, must never sweep staged work
+    git commit -q -m "Warm-start snapshot refresh (periodic VM-restore insurance, milestone '"$MS"')" \
       -- results/long_run/warmstart.npz \
-      && echo "[snapshot_loop] committed milestone $MS $(date)" >> "$LOG"
-    LAST=$MS
-  fi
+      && echo "[snapshot_loop] committed milestone '"$MS"' $(date)" >> "'"$LOG"'" \
+      || echo "[snapshot_loop] commit failed (empty or index race) $(date)" >> "'"$LOG"'"
+  ' && LAST=$MS
 done

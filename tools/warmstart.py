@@ -94,7 +94,17 @@ def snapshot(results_dir: Path, out: Path) -> None:
             arr.astype(jax.numpy.bfloat16).view(np.uint16)
             if arr.dtype == np.float32 else arr
         )
-    np.savez_compressed(out, **payload)
+    # tmp + atomic rename: a reader (or a git add racing this writer) must
+    # never see a torn npz — it is the VM-restore recovery artifact
+    # (advisor r4). os.replace is atomic on the same filesystem.
+    import os
+
+    tmp = out.with_suffix(".npz.tmp")
+    with open(tmp, "wb") as fh:
+        np.savez_compressed(fh, **payload)
+    with np.load(tmp, allow_pickle=False) as check:  # validate before swap
+        assert "step" in check.files and f"e0" in check.files
+    os.replace(tmp, out)
     print(f"[warmstart] wrote {out} from {ckpt.name} "
           f"(step {int(state.step)}, {out.stat().st_size / 1e6:.0f} MB)")
 
