@@ -1,8 +1,20 @@
 """Benchmark: CIFAR-10 unconditional training throughput (imgs/sec/chip)
 plus 10-step sampling rate, on the flagship two-decoder EDMPrecond.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
+Prints ONE JSON line per completed phase; the LAST line is the most
+complete result (the driver's parser scans the output tail, so a partial
+train-only line is superseded by the full line when sampling finishes).
+
+Survivability contract (VERDICT r4 #1 — the round-4 driver record was an
+rc=124 SIGKILL tail with nothing parseable):
+  * the train-throughput line is emitted the MOMENT it is measured;
+  * a deadline guard (ADM_TPU_BENCH_DEADLINE, seconds, default 1200)
+    emits whatever has been measured — or, failing that, the last
+    completed run's result marked "stale": true — then exits cleanly,
+    resuming any trainer this bench paused;
+  * the XLA compile cache lives in git (results/xla_cache, see
+    adm_tpu/utils/cache.py) so a VM restore cannot force this bench
+    through a cold 15-35 min compile.
 
 Baseline context (BASELINE.md): the reference publishes no numbers; the
 driver target is >= 3x an A100's img/sec/chip for the same config. We use
@@ -12,13 +24,94 @@ BASELINE.md) so vs_baseline = ours / (3 * A100_REF).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
+import threading
 import time
 from pathlib import Path
 
-import jax
-import jax.numpy as jnp
+REPO = Path(__file__).resolve().parent
+LAST_GOOD = REPO / "results" / "bench_last.json"
+
+# Estimated reference throughput: torch DDP fp16, two-decoder DhariwalUNet
+# (~112M params) at 32x32, per A100 chip. See BASELINE.md for derivation.
+A100_REF_IMGS_PER_SEC = 310.0
+
+BATCH = 128
+TRAIN_STEPS = 20
+SAMPLE_BATCH = 128
+
+_lock = threading.Lock()
+_best: dict | None = None  # latest fresh result, for the deadline guard
+_finished = threading.Event()
+# Holds the quiesce context so the deadline guard can resume a trainer this
+# process SIGSTOP'd (os._exit would otherwise skip the contextmanager exit
+# and leave the long run frozen until the watchdog's max_pause).
+_cleanup = contextlib.ExitStack()
+
+
+def _emit(result: dict) -> None:
+    print(json.dumps(result), flush=True)
+
+
+def _record(result: dict, *, final: bool = False) -> None:
+    global _best
+    with _lock:
+        _best = result
+    _emit(result)
+    if final:
+        try:
+            LAST_GOOD.parent.mkdir(parents=True, exist_ok=True)
+            LAST_GOOD.write_text(json.dumps(
+                {**result,
+                 "measured_at": time.strftime(
+                     "%Y-%m-%dT%H:%M:%SZ", time.gmtime())}))
+        except OSError:
+            pass
+
+
+def _deadline_result() -> dict:
+    """Best line we can honestly print when the budget expires: the
+    freshest partial measurement, else the last completed run marked
+    stale, else an explicit null-value error line (still parseable)."""
+    with _lock:
+        best = dict(_best) if _best is not None else None
+    if best is not None:
+        best["bench_deadline_hit"] = True
+        return best
+    try:
+        stale = json.loads(LAST_GOOD.read_text())
+        if not stale.get("metric"):
+            raise ValueError("placeholder")
+        stale["stale"] = True
+        stale["stale_reason"] = (
+            "deadline hit before any fresh measurement; value is the "
+            f"last completed bench on this machine ({stale.get('measured_at')})")
+        return stale
+    except (OSError, ValueError):
+        return {
+            "metric": "cifar10_train_imgs_per_sec_per_chip",
+            "value": None,
+            "unit": "imgs/sec/chip",
+            "vs_baseline": None,
+            "error": "bench deadline hit before any measurement and no "
+                     "previous result is cached",
+        }
+
+
+def _deadline_guard(budget_s: float) -> None:
+    """Emit the best available result and exit when the budget expires.
+
+    Runs from process start, so it also covers a relay-outage wait and a
+    hung backend init — the two states a driver timeout (rc=124) would
+    otherwise catch us in with an empty stdout."""
+    if _finished.wait(timeout=budget_s):
+        return
+    _emit(_deadline_result())
+    with contextlib.suppress(Exception):
+        _cleanup.close()  # SIGCONT a paused trainer / thaw its watchdog
+    os._exit(0)
 
 
 def quiesce_chip():
@@ -32,21 +125,20 @@ def quiesce_chip():
     newest milestone when thawed."""
     import sys
 
-    sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
+    sys.path.insert(0, str(REPO / "tools"))
     from quiet_chip import quiesce
 
     return quiesce()
 
-# Estimated reference throughput: torch DDP fp16, two-decoder DhariwalUNet
-# (~112M params) at 32x32, per A100 chip. See BASELINE.md for derivation.
-A100_REF_IMGS_PER_SEC = 310.0
 
-BATCH = 128
-TRAIN_STEPS = 20
-SAMPLE_BATCH = 128
+def build_programs():
+    """Construct the bench's two device programs (train step, sampler).
 
-
-def main():
+    Shared with tools/bench_prewarm.py so the gate loop can AOT-compile
+    EXACTLY these programs into the committed cache — the driver bench
+    then never pays a cold compile, even straight after a VM restore."""
+    import jax
+    import jax.numpy as jnp
 
     # rbg measured ~9% faster but the axon compile service has crashed on
     # some rbg programs (HTTP 500); the unattended bench defaults to the
@@ -87,12 +179,24 @@ def main():
     rep = replicated_sharding(mesh)
     dat = data_sharding(mesh)
     state = jax.device_put(state, rep)
-    jitted = jax.jit(step_fn, in_shardings=(rep, dat, rep), out_shardings=(rep, rep),
-                     donate_argnums=(0,))
+    jitted = jax.jit(step_fn, in_shardings=(rep, dat, rep),
+                     out_shardings=(rep, rep), donate_argnums=(0,))
 
     batch = {"image": jnp.zeros((BATCH * n_chips, res, res, 3), jnp.float32)}
     batch = shard_batch(mesh, batch)
     key = jax.random.PRNGKey(1)
+    sample = jax.jit(
+        lambda p, k: model.sample(p, k, batch_size=SAMPLE_BATCH,
+                                  unnormalize=True)
+    )
+    return jitted, state, batch, key, sample, n_chips
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jitted, state, batch, key, sample, n_chips = build_programs()
 
     # NOTE: block_until_ready is unreliable over the tunneled axon backend
     # (returns before execution completes); a scalar host transfer is the
@@ -108,10 +212,21 @@ def main():
     dt = time.perf_counter() - t0
     train_ips_chip = BATCH * n_chips * TRAIN_STEPS / dt / n_chips
 
+    # Emit the headline number NOW — the sampling phase below costs a
+    # second compile, and losing the whole bench to a timeout there is
+    # how round 4 ended with parsed: null.
+    result = {
+        "metric": "cifar10_train_imgs_per_sec_per_chip",
+        "value": round(train_ips_chip, 2),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(train_ips_chip / (3 * A100_REF_IMGS_PER_SEC), 3),
+        "n_chips": n_chips,
+        "batch_per_chip": BATCH,
+        "phase": "train_only",
+    }
+    _record(result)
+
     # 10-step sampling (sum fences each rep with a scalar transfer)
-    sample = jax.jit(
-        lambda p, k: model.sample(p, k, batch_size=SAMPLE_BATCH, unnormalize=True)
-    )
     _ = float(jnp.sum(sample(state.ema_params, key)))
     t0 = time.perf_counter()
     reps = 3
@@ -119,16 +234,10 @@ def main():
         _ = float(jnp.sum(sample(state.ema_params, jax.random.PRNGKey(i))))
     sample_ips = SAMPLE_BATCH * reps / (time.perf_counter() - t0)
 
-    result = {
-        "metric": "cifar10_train_imgs_per_sec_per_chip",
-        "value": round(train_ips_chip, 2),
-        "unit": "imgs/sec/chip",
-        "vs_baseline": round(train_ips_chip / (3 * A100_REF_IMGS_PER_SEC), 3),
-        "sample_imgs_per_sec_10step": round(sample_ips, 2),
-        "n_chips": n_chips,
-        "batch_per_chip": BATCH,
-    }
-    print(json.dumps(result))
+    result = {**result, "sample_imgs_per_sec_10step": round(sample_ips, 2)}
+    del result["phase"]
+    _record(result, final=True)
+    _finished.set()
 
 
 def wait_for_axon_relay(max_wait_s: float = 3600.0, poll_s: float = 30.0):
@@ -140,6 +249,8 @@ def wait_for_axon_relay(max_wait_s: float = 3600.0, poll_s: float = 30.0):
     into a cheap poll, and waiting (bounded) lets an unattended driver
     bench survive an outage that ends mid-window. Only engages when the
     axon plugin is present (a CPU-only box has no relay and no need).
+    The deadline guard runs concurrently: if the outage outlasts the
+    bench budget, the stale-result line is emitted instead of nothing.
     """
     import socket
     import sys
@@ -166,7 +277,13 @@ def wait_for_axon_relay(max_wait_s: float = 3600.0, poll_s: float = 30.0):
 
 
 if __name__ == "__main__":
+    threading.Thread(
+        target=_deadline_guard,
+        args=(float(os.environ.get("ADM_TPU_BENCH_DEADLINE", "1200")),),
+        daemon=True,
+    ).start()
     wait_for_axon_relay(
         float(os.environ.get("ADM_TPU_BENCH_RELAY_WAIT", "3600")))
-    with quiesce_chip():
-        main()
+    _cleanup.enter_context(quiesce_chip())
+    main()
+    _cleanup.close()

@@ -50,6 +50,10 @@ while true; do
   echo "[gate_loop] steps_probe rc=$? milestone=$MS $(date)" >> "$LOG"
   python tools/gate_verdict.py >> "$LOG" 2>&1
   echo "[gate_loop] gate recorded at milestone $MS $(date)" >> "$LOG"
+  # AOT-compile the driver bench's programs into the committed XLA cache
+  # while the chip is quiet (VERDICT r5 #1c) — seconds once warm.
+  timeout 3600 python tools/bench_prewarm.py >> "$LOG" 2>&1
+  echo "[gate_loop] bench_prewarm rc=$? $(date)" >> "$LOG"
   # refresh the committed VM-restore insurance (host-side, no chip);
   # pathspec'd commit so an async fire never sweeps staged work. flock
   # serializes against snapshot_loop.sh's identical block (advisor r4).
@@ -57,8 +61,11 @@ while true; do
     python tools/warmstart.py snapshot >> "'"$LOG"'" 2>&1 || exit 1
     [ -f results/long_run/warmstart.npz ] || exit 1
     git add -f results/long_run/warmstart.npz || { echo "[gate_loop] git add failed $(date)" >> "'"$LOG"'"; exit 1; }
+    # the committed XLA cache + last bench result ride the same insurance
+    # commit (content-addressed cache files dedup, so re-adds are free)
+    git add -f results/xla_cache results/bench_last.json 2>/dev/null
     git commit -q -m "Warm-start snapshot refresh (VM-restore insurance)" \
-      -- results/long_run/warmstart.npz \
+      -- results/long_run/warmstart.npz results/xla_cache results/bench_last.json \
       && echo "[gate_loop] warmstart committed $(date)" >> "'"$LOG"'" \
       || echo "[gate_loop] warmstart commit failed $(date)" >> "'"$LOG"'"
   '

@@ -35,9 +35,11 @@ while true; do
     python tools/warmstart.py snapshot >> "'"$LOG"'" 2>&1 || exit 1
     [ -f results/long_run/warmstart.npz ] || exit 1
     git add -f results/long_run/warmstart.npz || { echo "[snapshot_loop] git add failed $(date)" >> "'"$LOG"'"; exit 1; }
+    # the committed XLA cache + last bench result ride along (dedup = free)
+    git add -f results/xla_cache results/bench_last.json 2>/dev/null
     # pathspec'"'"'d commit: fires asynchronously, must never sweep staged work
     git commit -q -m "Warm-start snapshot refresh (periodic VM-restore insurance, milestone '"$MS"')" \
-      -- results/long_run/warmstart.npz \
+      -- results/long_run/warmstart.npz results/xla_cache results/bench_last.json \
       && echo "[snapshot_loop] committed milestone '"$MS"' $(date)" >> "'"$LOG"'" \
       || echo "[snapshot_loop] commit failed (empty or index race) $(date)" >> "'"$LOG"'"
   ' && LAST=$MS
