@@ -1,7 +1,10 @@
 """EDM-style non-leaky augmentation pipeline (reference ddm/augment.py:115-328).
 
-Implements the subset the reference instantiates for DDM training
-(ddm/ddm_const_2.py:112-113):
+Covers the FULL reference op set: pixel blitting (xflip/yflip/rotate_int/
+translate_int, ddm/augment.py:162-192), geometric warps (scale/rotate_frac/
+aniso/translate_frac, :197-270), and the luma-space 4x4 color transforms
+(brightness/contrast/lumaflip/hue/saturation, :276-325). The flagship DDM
+config instantiates the geometric subset (ddm/ddm_const_2.py:112-113):
   AugmentPipe(p=0.12, xflip=1e8, yflip=1, scale=1, rotate_frac=1, aniso=1,
               translate_frac=1)  ->  9 augment-label dims
 
@@ -93,6 +96,41 @@ def _bilinear_warp(images: Array, g_inv: Array, margin: int) -> Array:
         )
 
     return jax.vmap(warp_one)(padded, g_inv)
+
+
+# luma axis for the color transforms (reference ddm/augment.py:278)
+_LUMA = (1.0 / 3.0 ** 0.5, 1.0 / 3.0 ** 0.5, 1.0 / 3.0 ** 0.5, 0.0)
+
+
+def _translate3d(t: Array) -> Array:
+    """Homogeneous 4x4 RGB translation by (t, t, t) per sample, t: (n,)."""
+    eye = jnp.broadcast_to(jnp.eye(4), t.shape + (4, 4))
+    shift = jnp.zeros_like(eye).at[..., :3, 3].set(t[..., None])
+    return eye + shift
+
+
+def _scale3d(s: Array) -> Array:
+    """Homogeneous 4x4 isotropic RGB scale per sample, s: (n,)."""
+    d = jnp.stack([s, s, s, jnp.ones_like(s)], axis=-1)
+    return jax.vmap(jnp.diag)(d)
+
+
+def _rotate3d_luma(theta: Array) -> Array:
+    """Rodrigues rotation about the luma axis (reference rotate3d with
+    v = [1,1,1,0]/sqrt(3), ddm/augment.py:90-100), theta: (n,)."""
+    v = jnp.asarray(_LUMA[:3])
+    s, c = jnp.sin(theta), jnp.cos(theta)
+    cc = 1.0 - c
+    vv = jnp.outer(v, v)  # (3, 3)
+    # cross-product (skew) matrix of v
+    kx = jnp.asarray([[0.0, -v[2], v[1]],
+                      [v[2], 0.0, -v[0]],
+                      [-v[1], v[0], 0.0]])
+    r = (vv[None] * cc[:, None, None]
+         + jnp.eye(3)[None] * c[:, None, None]
+         + kx[None] * s[:, None, None])
+    out = jnp.broadcast_to(jnp.eye(4), theta.shape + (4, 4))
+    return out.at[..., :3, :3].set(r)
 
 
 # sym6 scaling filter (reference ddm/augment.py:21-38 wavelets table)
@@ -218,6 +256,9 @@ class AugmentPipe:
     p: float = 0.12
     xflip: float = 1e8
     yflip: float = 1.0
+    rotate_int: float = 0.0
+    translate_int: float = 0.0
+    translate_int_max: float = 0.125
     scale: float = 1.0
     rotate_frac: float = 1.0
     aniso: float = 1.0
@@ -227,25 +268,47 @@ class AugmentPipe:
     aniso_std: float = 0.2
     aniso_rotate_prob: float = 0.5
     translate_frac_std: float = 0.125
+    brightness: float = 0.0
+    contrast: float = 0.0
+    lumaflip: float = 0.0
+    hue: float = 0.0
+    saturation: float = 0.0
+    brightness_std: float = 0.2
+    contrast_std: float = 0.5
+    hue_max: float = 1.0
+    saturation_std: float = 1.0
     antialias: bool = True
+
+    @property
+    def _any_geometric(self) -> bool:
+        return any(m > 0 for m in
+                   (self.scale, self.rotate_frac, self.aniso,
+                    self.translate_frac))
 
     @property
     def label_dim(self) -> int:
         dims = 0
         dims += 1 if self.xflip > 0 else 0
         dims += 1 if self.yflip > 0 else 0
+        dims += 2 if self.rotate_int > 0 else 0
+        dims += 2 if self.translate_int > 0 else 0
         dims += 1 if self.scale > 0 else 0
         dims += 2 if self.rotate_frac > 0 else 0
         dims += 2 if self.aniso > 0 else 0
         dims += 2 if self.translate_frac > 0 else 0
+        dims += 1 if self.brightness > 0 else 0
+        dims += 1 if self.contrast > 0 else 0
+        dims += 1 if self.lumaflip > 0 else 0
+        dims += 2 if self.hue > 0 else 0
+        dims += 1 if self.saturation > 0 else 0
         return dims
 
     def __call__(self, images: Array, key: Array) -> Tuple[Array, Array]:
         n, h, w, c = images.shape
-        keys = jax.random.split(key, 14)
+        keys = jax.random.split(key, 28)
         labels = []
 
-        # pixel blitting (augment.py:162-172)
+        # pixel blitting (augment.py:162-192)
         if self.xflip > 0:
             wf = jax.random.randint(keys[0], (n,), 0, 2)
             gate = jax.random.uniform(keys[1], (n,)) < self.xflip * self.p
@@ -262,42 +325,74 @@ class AugmentPipe:
                 (wf == 1)[:, None, None, None], jnp.flip(images, axis=1), images
             )
             labels.append(wf.astype(jnp.float32)[:, None])
+        if self.rotate_int > 0:
+            # 90-degree rotations as flips + transpose (augment.py:175-181);
+            # the transpose branch requires square images, as in the reference
+            wf = jax.random.randint(keys[4], (n,), 0, 4)
+            gate = jax.random.uniform(keys[5], (n,)) < self.rotate_int * self.p
+            wf = jnp.where(gate, wf, 0)
+            fx = ((wf == 1) | (wf == 2))[:, None, None, None]
+            fy = ((wf == 2) | (wf == 3))[:, None, None, None]
+            tr = ((wf == 1) | (wf == 3))[:, None, None, None]
+            images = jnp.where(fx, jnp.flip(images, axis=2), images)
+            images = jnp.where(fy, jnp.flip(images, axis=1), images)
+            images = jnp.where(tr, jnp.swapaxes(images, 1, 2), images)
+            labels.append(jnp.stack(
+                [fx[:, 0, 0, 0].astype(jnp.float32),
+                 fy[:, 0, 0, 0].astype(jnp.float32)], axis=-1))
+        if self.translate_int > 0:
+            # integer translation with reflection tiling (augment.py:183-192)
+            wv = jax.random.uniform(keys[6], (2, n)) * 2 - 1
+            gate = jax.random.uniform(keys[7], (1, n)) < self.translate_int * self.p
+            wv = jnp.where(gate, wv, 0.0)
+            tx = jnp.round(wv[0] * (w * self.translate_int_max)).astype(jnp.int32)
+            ty = jnp.round(wv[1] * (h * self.translate_int_max)).astype(jnp.int32)
+            xs = jnp.arange(w)[None, :] - tx[:, None]          # (n, w)
+            ys = jnp.arange(h)[None, :] + ty[:, None]          # (n, h)
+            xs = w - 1 - jnp.abs(w - 1 - xs % (w * 2 - 2))
+            ys = h - 1 - jnp.abs(h - 1 - ys % (h * 2 - 2))
+            images = jax.vmap(
+                lambda img, yy, xx: img[yy[:, None], xx[None, :]]
+            )(images, ys, xs)
+            labels.append(jnp.stack(
+                [tx / (w * self.translate_int_max),
+                 ty / (h * self.translate_int_max)], axis=-1))
 
         # geometric transform selection (augment.py:197-226)
         g_inv = jnp.broadcast_to(jnp.eye(3), (n, 3, 3))
         if self.scale > 0:
-            wv = jax.random.normal(keys[4], (n,))
+            wv = jax.random.normal(keys[8], (n,))
             wv = jnp.where(
-                jax.random.uniform(keys[5], (n,)) < self.scale * self.p, wv, 0.0
+                jax.random.uniform(keys[9], (n,)) < self.scale * self.p, wv, 0.0
             )
             s = jnp.exp2(wv * self.scale_std)
             g_inv = g_inv @ _scale2d(1 / s, 1 / s)
             labels.append(wv[:, None])
         if self.rotate_frac > 0:
-            wv = (jax.random.uniform(keys[6], (n,)) * 2 - 1) * (
+            wv = (jax.random.uniform(keys[10], (n,)) * 2 - 1) * (
                 jnp.pi * self.rotate_frac_max
             )
             wv = jnp.where(
-                jax.random.uniform(keys[7], (n,)) < self.rotate_frac * self.p, wv, 0.0
+                jax.random.uniform(keys[11], (n,)) < self.rotate_frac * self.p, wv, 0.0
             )
             g_inv = g_inv @ _rotate2d(wv)  # rotate2d_inv(-w) == rotate2d(w)
             labels.append(jnp.stack([jnp.cos(wv) - 1, jnp.sin(wv)], axis=-1))
         if self.aniso > 0:
-            wv = jax.random.normal(keys[8], (n,))
-            r = (jax.random.uniform(keys[9], (n,)) * 2 - 1) * jnp.pi
+            wv = jax.random.normal(keys[12], (n,))
+            r = (jax.random.uniform(keys[13], (n,)) * 2 - 1) * jnp.pi
             wv = jnp.where(
-                jax.random.uniform(keys[10], (n,)) < self.aniso * self.p, wv, 0.0
+                jax.random.uniform(keys[14], (n,)) < self.aniso * self.p, wv, 0.0
             )
             r = jnp.where(
-                jax.random.uniform(keys[11], (n,)) < self.aniso_rotate_prob, r, 0.0
+                jax.random.uniform(keys[15], (n,)) < self.aniso_rotate_prob, r, 0.0
             )
             s = jnp.exp2(wv * self.aniso_std)
             g_inv = g_inv @ _rotate2d(-r) @ _scale2d(1 / s, s) @ _rotate2d(r)
             labels.append(jnp.stack([wv * jnp.cos(r), wv * jnp.sin(r)], axis=-1))
         if self.translate_frac > 0:
-            wv = jax.random.normal(keys[12], (2, n))
+            wv = jax.random.normal(keys[16], (2, n))
             wv = jnp.where(
-                jax.random.uniform(keys[13], (1, n)) < self.translate_frac * self.p,
+                jax.random.uniform(keys[17], (1, n)) < self.translate_frac * self.p,
                 wv,
                 0.0,
             )
@@ -306,10 +401,83 @@ class AugmentPipe:
             g_inv = g_inv @ _translate2d(-tx, -ty)
             labels.append(jnp.stack([wv[0], wv[1]], axis=-1))
 
-        if self.antialias:
-            images = _antialiased_warp(images, g_inv)
-        else:
-            margin = max(h, w) // 2
-            images = _bilinear_warp(images, g_inv, margin)
+        # the reference executes the warp only when a geometric op is
+        # configured (G_inv is I_3 otherwise, augment.py:230) — the wavelet
+        # resample round-trip is near- but not bit-identity, so skip it too
+        if self._any_geometric:
+            if self.antialias:
+                images = _antialiased_warp(images, g_inv)
+            else:
+                margin = max(h, w) // 2
+                images = _bilinear_warp(images, g_inv, margin)
+
+        # color transform selection (augment.py:276-311)
+        m = jnp.broadcast_to(jnp.eye(4), (n, 4, 4))
+        any_color = False
+        if self.brightness > 0:
+            wv = jax.random.normal(keys[18], (n,))
+            wv = jnp.where(
+                jax.random.uniform(keys[19], (n,)) < self.brightness * self.p,
+                wv, 0.0)
+            m = _translate3d(wv * self.brightness_std) @ m
+            labels.append(wv[:, None])
+            any_color = True
+        if self.contrast > 0:
+            wv = jax.random.normal(keys[20], (n,))
+            wv = jnp.where(
+                jax.random.uniform(keys[21], (n,)) < self.contrast * self.p,
+                wv, 0.0)
+            m = _scale3d(jnp.exp2(wv * self.contrast_std)) @ m
+            labels.append(wv[:, None])
+            any_color = True
+        luma_outer = jnp.outer(jnp.asarray(_LUMA), jnp.asarray(_LUMA))
+        if self.lumaflip > 0:
+            wf = jax.random.randint(keys[22], (n,), 0, 2).astype(jnp.float32)
+            wf = jnp.where(
+                jax.random.uniform(keys[23], (n,)) < self.lumaflip * self.p,
+                wf, 0.0)
+            house = (jnp.eye(4)[None]
+                     - 2.0 * luma_outer[None] * wf[:, None, None])
+            m = house @ m
+            labels.append(wf[:, None])
+            any_color = True
+        if self.hue > 0:
+            wv = (jax.random.uniform(keys[24], (n,)) * 2 - 1) * (
+                jnp.pi * self.hue_max)
+            wv = jnp.where(
+                jax.random.uniform(keys[25], (n,)) < self.hue * self.p,
+                wv, 0.0)
+            m = _rotate3d_luma(wv) @ m
+            labels.append(jnp.stack([jnp.cos(wv) - 1, jnp.sin(wv)], axis=-1))
+            any_color = True
+        if self.saturation > 0:
+            wv = jax.random.normal(keys[26], (n,))
+            wv = jnp.where(
+                jax.random.uniform(keys[27], (n,)) < self.saturation * self.p,
+                wv, 0.0)
+            sat = jnp.exp2(wv * self.saturation_std)[:, None, None]
+            m = (luma_outer[None]
+                 + (jnp.eye(4)[None] - luma_outer[None]) * sat) @ m
+            labels.append(wv[:, None])
+            any_color = True
+
+        # execute color transform (augment.py:315-323), NHWC
+        if any_color:
+            if c == 3:
+                images = (
+                    jnp.einsum("nij,nhwj->nhwi", m[:, :3, :3], images)
+                    + m[:, :3, 3][:, None, None, :]
+                )
+            elif c == 1:
+                # grayscale: average the RGB rows into one (augment.py:320-322)
+                mg = jnp.mean(m[:, :3, :], axis=1)  # (n, 4)
+                gain = jnp.sum(mg[:, :3], axis=-1)[:, None, None, None]
+                bias = mg[:, 3][:, None, None, None]
+                images = images * gain + bias
+            else:
+                raise ValueError(
+                    "color transforms need RGB (3) or L (1) channels, got "
+                    f"{c}")
+
         label = jnp.concatenate(labels, axis=-1) if labels else jnp.zeros((n, 0))
         return images, label
