@@ -1,12 +1,25 @@
-"""Evaluate the quality-trend acceptance gate (BASELINE.md, VERDICT r3
-item 3c): at the end of the 100k-step flagship run, state pass/fail on the
-calibrated anchor scale and record the supporting evidence.
+"""Evaluate the quality-trend acceptance gate (BASELINE.md "Acceptance
+gate"): state pass/fail on the calibrated anchor scale and record the
+supporting evidence.
 
-Gate: proxy-FID <= 0.05 (<= 6% of the anchor range above the held-out
-floor) with visibly crisp shape grids by step 100k. Inputs: the newest
-protocol-scale pass (results/long_run/fid_eval.json), the milestone trend
-(quality_trend.json), the anchors (anchors.json), and the sampler
-discretization bound (sample_steps_probe.json).
+Gate (recalibrated round 5, VERDICT r4 weak #2 + next #3): the original
+bar (0.05 absolute proxy-FID ~ 6% of span) failed the REFERENCE's own
+converged trajectory — the lockstep twin run of the reference torch loop
+plateaus at 0.0765 on anchors {0.0006, 0.4842} = 0.157 of ITS span at the
+SAME 10-step sampler + '192' proxy metric (BASELINE.md twin-quality
+table; tools/twin_quality.py, sampling_timesteps=10 like the flagship
+protocol). A gate the reference cannot pass measures the metric's floor,
+not the framework. Recalibrated bar, derived from measured floors:
+
+    frac_of_anchor_span <= 0.157 (reference-converged floor, matched
+                                  protocol)
+                         + 0.020 (the twin harness's own pinned
+                                  trajectory tolerance, 2% of span)
+                         = 0.177
+
+Inputs: the newest protocol-scale pass (results/long_run/fid_eval.json),
+the milestone trend (quality_trend.json), the anchors (anchors.json), and
+the sampler discretization bound (sample_steps_probe.json).
 
 Usage: python tools/gate_verdict.py   (no chip needed — reads JSONs)
 Writes results/long_run/gate_verdict.json and prints it.
@@ -18,7 +31,8 @@ import json
 from pathlib import Path
 
 OUT = Path(__file__).resolve().parent.parent / "results/long_run"
-GATE = 0.05
+GATE_FRAC = 0.177          # of the anchor span; derivation in docstring
+LEGACY_GATE_ABS = 0.05     # the round-3 bar, kept for the record
 
 
 def main():
@@ -61,8 +75,14 @@ def main():
     span = (noise - heldout) if (noise is not None and heldout is not None) \
         else None
 
+    frac = (round((final - (heldout or 0.0)) / span, 4)
+            if (final is not None and span) else None)
     verdict = {
-        "gate": GATE,
+        "gate_frac_of_span": GATE_FRAC,
+        "gate_derivation": (
+            "reference-converged twin floor 0.157 of span at matched "
+            "10-step protocol + 0.020 twin tolerance (BASELINE.md)"),
+        "legacy_gate_abs": LEGACY_GATE_ABS,
         "final_step": last.get("step"),
         "final_trend_proxy_fid": last.get("proxy_fid"),
         "best_trend": best,
@@ -72,8 +92,7 @@ def main():
         "value_judged": final,
         "anchor_noise": noise,
         "anchor_heldout": heldout,
-        "frac_of_anchor_span": (round((final - (heldout or 0.0)) / span, 4)
-                                if (final is not None and span) else None),
+        "frac_of_anchor_span": frac,
         "discretization_bound_det10_minus_det25": (
             round(probe["det10"]["proxy_fid"] - probe["det25"]["proxy_fid"], 4)
             if probe.get("det10") and probe.get("det25") else None
@@ -83,7 +102,9 @@ def main():
         "heun5_at_matched_nfe_proxy_fid": (
             probe["heun5"]["proxy_fid"] if probe.get("heun5") else None
         ),
-        "passed": bool(final is not None and final <= GATE),
+        "passed": bool(frac is not None and frac <= GATE_FRAC),
+        "passed_legacy_abs": bool(final is not None
+                                  and final <= LEGACY_GATE_ABS),
     }
     (OUT / "gate_verdict.json").write_text(json.dumps(verdict, indent=1))
     print(json.dumps(verdict, indent=1))
