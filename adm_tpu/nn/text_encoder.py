@@ -51,7 +51,10 @@ class _ResidualAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, mask: Array) -> Array:
-        y = nn.LayerNorm(dtype=jnp.float32, name="ln_1")(x).astype(x.dtype)
+        # eps 1e-5: torch nn.LayerNorm's default, which OpenAI CLIP uses —
+        # flax's 1e-6 default drifts ~1%/layer on CLIP-scale embeddings
+        # (caught by tests/test_weight_drop.py::test_clip_text_ckpt_drop)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_1")(x).astype(x.dtype)
         b, n, c = y.shape
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="attn_qkv")(y)
         qkv = qkv.reshape(b, n, 3, self.heads, c // self.heads)
@@ -66,7 +69,7 @@ class _ResidualAttentionBlock(nn.Module):
         o = jnp.einsum("bhij,bjhd->bihd", att, v.astype(jnp.float32))
         o = o.reshape(b, n, c).astype(x.dtype)
         x = x + nn.Dense(c, dtype=self.dtype, name="attn_out")(o)
-        y = nn.LayerNorm(dtype=jnp.float32, name="ln_2")(x).astype(x.dtype)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_2")(x).astype(x.dtype)
         y = nn.Dense(4 * c, dtype=self.dtype, name="mlp_fc")(y)
         if self.act == "quick_gelu":
             y = y * jax.nn.sigmoid(1.702 * y)
@@ -153,7 +156,7 @@ class CLIPTextEncoder(nn.Module):
                 self.width, self.heads, act=self.act, dtype=self.dtype,
                 name=f"resblock_{i}",
             )(x, mask)
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_final")(x).astype(self.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_final")(x).astype(self.dtype)
         # pool at the last (highest-index) token per sequence (CLIP eos pool)
         eos_idx = jnp.argmax(tokens, axis=-1)
         pooled = x[jnp.arange(b), eos_idx]
