@@ -26,6 +26,33 @@ jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
+# The "core" tier (VERDICT r4 weak #6): the full fast tier is 1h+ on a
+# loaded box, so regressions need a <10-min subset that covers the spine —
+# diffusion processes, samplers, the unified trainer, parity-lite (EMA),
+# ops, data, configs, and the driver-bench guard. Whole files, assigned
+# here so the membership is one list, not markers scattered over 60 files.
+# (The full flagship UNet parity lives in the fast tier, not core — it
+# alone costs ~5 min.)
+_CORE_FILES = {
+    "test_processes.py",
+    "test_ode.py",
+    "test_heun_sampler.py",
+    "test_train.py",
+    "test_ops.py",
+    "test_data.py",
+    "test_ema_parity.py",
+    "test_configs.py",
+    "test_bench_guard.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pathlib
+
+    for item in items:
+        if pathlib.Path(str(item.fspath)).name in _CORE_FILES:
+            item.add_marker(pytest.mark.core)
+
 
 @pytest.fixture(scope="session")
 def devices():
