@@ -48,6 +48,11 @@ while true; do
   bash tools/wait_relay.sh
   timeout 7200 python tools/sample_steps_probe.py "$MS" 1024 >> "$LOG" 2>&1
   echo "[gate_loop] steps_probe rc=$? milestone=$MS $(date)" >> "$LOG"
+  # encoder-reuse re-read at the gated milestone (VERDICT r4 next #2:
+  # the Heun/reuse levers were promised an on-chip re-read at >=160k)
+  bash tools/wait_relay.sh
+  timeout 7200 python tools/sample_reuse_probe.py "$MS" 1024 >> "$LOG" 2>&1
+  echo "[gate_loop] reuse_probe rc=$? milestone=$MS $(date)" >> "$LOG"
   python tools/gate_verdict.py >> "$LOG" 2>&1
   echo "[gate_loop] gate recorded at milestone $MS $(date)" >> "$LOG"
   # AOT-compile the driver bench's programs into the committed XLA cache
