@@ -38,12 +38,14 @@ while [ "$TRY" -lt "$MAX_TRIES" ]; do
   echo "[r5_queue] waiting for steady trainer (try $TRY) $(date)" >> "$LOG"
   wait_steady
   echo "[r5_queue] trainer steady; probing $(date)" >> "$LOG"
-  timeout 9000 python tools/quiet_chip.py python tools/xla_flags_probe.py >> "$LOG" 2>&1
-  RC1=$?
-  echo "[r5_queue] xla_flags rc=$RC1 $(date)" >> "$LOG"
+  # prewarm first: it is the driver-critical artifact (bench cache); the
+  # flags probe is exploratory and pays the longer quiesce window
   timeout 3600 python tools/quiet_chip.py python tools/bench_prewarm.py >> "$LOG" 2>&1
   RC2=$?
   echo "[r5_queue] prewarm rc=$RC2 $(date)" >> "$LOG"
+  timeout 9000 python tools/quiet_chip.py python tools/xla_flags_probe.py >> "$LOG" 2>&1
+  RC1=$?
+  echo "[r5_queue] xla_flags rc=$RC1 $(date)" >> "$LOG"
   if [ "$RC2" -eq 0 ]; then
     flock results/long_run/.gitcommit.lock bash -c '
       git add -f results/xla_cache results/bench_last.json PERF_r5.jsonl 2>/dev/null
