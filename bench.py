@@ -277,13 +277,24 @@ def wait_for_axon_relay(max_wait_s: float = 3600.0, poll_s: float = 30.0):
 
 
 if __name__ == "__main__":
+    budget = float(os.environ.get("ADM_TPU_BENCH_DEADLINE", "1200"))
+    t_start = time.monotonic()
     threading.Thread(
-        target=_deadline_guard,
-        args=(float(os.environ.get("ADM_TPU_BENCH_DEADLINE", "1200")),),
-        daemon=True,
+        target=_deadline_guard, args=(budget,), daemon=True,
     ).start()
     wait_for_axon_relay(
         float(os.environ.get("ADM_TPU_BENCH_RELAY_WAIT", "3600")))
-    _cleanup.enter_context(quiesce_chip())
-    main()
-    _cleanup.close()
+    # If the relay wait ate (almost) the whole budget, don't SIGSTOP the
+    # trainer just to have the guard fire mid-quiesce-enter (the one
+    # window where _cleanup can't resume it) — emit the fallback and go.
+    if time.monotonic() - t_start > budget - 90:
+        _emit(_deadline_result())
+        raise SystemExit(0)
+    try:
+        _cleanup.enter_context(quiesce_chip())
+        main()
+    finally:
+        # deterministic trainer resume on ANY exit path — an uncaught
+        # exception must never leave the long run SIGSTOP'd until the
+        # watchdog's max_pause (code-review r5)
+        _cleanup.close()

@@ -57,6 +57,7 @@ while true; do
   echo "[gate_loop] gate recorded at milestone $MS $(date)" >> "$LOG"
   # AOT-compile the driver bench's programs into the committed XLA cache
   # while the chip is quiet (VERDICT r5 #1c) — seconds once warm.
+  bash tools/wait_relay.sh
   timeout 3600 python tools/bench_prewarm.py >> "$LOG" 2>&1
   echo "[gate_loop] bench_prewarm rc=$? $(date)" >> "$LOG"
   # refresh the committed VM-restore insurance (host-side, no chip);

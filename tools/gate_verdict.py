@@ -75,8 +75,11 @@ def main():
     span = (noise - heldout) if (noise is not None and heldout is not None) \
         else None
 
-    frac = (round((final - (heldout or 0.0)) / span, 4)
-            if (final is not None and span) else None)
+    # compare UNROUNDED (a 0.17703 must fail a 0.177 gate); round only
+    # the recorded field
+    frac_exact = ((final - (heldout or 0.0)) / span
+                  if (final is not None and span) else None)
+    frac = round(frac_exact, 4) if frac_exact is not None else None
     verdict = {
         "gate_frac_of_span": GATE_FRAC,
         "gate_derivation": (
@@ -102,7 +105,7 @@ def main():
         "heun5_at_matched_nfe_proxy_fid": (
             probe["heun5"]["proxy_fid"] if probe.get("heun5") else None
         ),
-        "passed": bool(frac is not None and frac <= GATE_FRAC),
+        "passed": bool(frac_exact is not None and frac_exact <= GATE_FRAC),
         "passed_legacy_abs": bool(final is not None
                                   and final <= LEGACY_GATE_ABS),
     }

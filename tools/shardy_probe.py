@@ -75,9 +75,14 @@ def child(use_shardy: bool) -> None:
 def main() -> int:
     results = []
     for flag in (0, 1):
-        out = subprocess.run(
-            [sys.executable, __file__, "child", str(flag)],
-            capture_output=True, text=True, timeout=1800, cwd=str(REPO))
+        try:
+            out = subprocess.run(
+                [sys.executable, __file__, "child", str(flag)],
+                capture_output=True, text=True, timeout=1800, cwd=str(REPO))
+        except subprocess.TimeoutExpired:
+            results.append({"partitioner": ["gspmd", "shardy"][flag],
+                            "error": "child timed out (1800s)"})
+            continue
         line = [l for l in out.stdout.splitlines() if l.startswith("{")]
         if line:
             results.append(json.loads(line[-1]))

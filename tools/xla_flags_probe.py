@@ -34,6 +34,14 @@ VARIANTS = [
 
 
 def main() -> int:
+    # Throwaway cache: per-option compiles are keyed by compile options, so
+    # each variant would add a ~56 MB blob to the GIT-COMMITTED default
+    # cache (results/xla_cache) that the supervision loops sweep in forever
+    # (code-review r5). Probe artifacts don't need persistence.
+    import os
+
+    os.environ.setdefault("ADM_TPU_COMPILE_CACHE", "/tmp/xla_flags_probe_cache")
+
     import jax
 
     import bench
@@ -50,6 +58,7 @@ def main() -> int:
     # variant (each call consumes the previous call's output — never reuse
     # the original `state` binding after the first execution)
     st = state
+    st_valid = True
     for name, opts in VARIANTS:
         row = {"probe": "xla_flags", "variant": name, "options": opts,
                "batch": BATCH, "steps": STEPS}
@@ -58,6 +67,11 @@ def main() -> int:
             compiled = lowered.compile(
                 compiler_options=opts) if opts else lowered.compile()
             row["compile_secs"] = round(time.perf_counter() - t0, 1)
+            if not st_valid:
+                raise RuntimeError(
+                    "state buffers were donated into a failed earlier "
+                    "variant — cannot execute (compile time recorded)")
+            st_valid = False        # donated the moment we call
             st, m = compiled(st, batch, key)   # warmup/execute once
             _ = float(m["loss"])
             t0 = time.perf_counter()
@@ -67,6 +81,7 @@ def main() -> int:
             dt = time.perf_counter() - t0
             row["imgs_per_sec"] = round(BATCH * STEPS / dt, 2)
             row["step_ms"] = round(dt / STEPS * 1e3, 2)
+            st_valid = True                    # loop completed; st is live
         except Exception as e:  # noqa: BLE001 — record and continue
             row["error"] = f"{type(e).__name__}: {e}"[:300]
         print(json.dumps(row), flush=True)
