@@ -101,3 +101,30 @@ def test_record_final_writes_last_good(tmp_path, monkeypatch, capsys):
     assert saved["value"] == 5.0 and "measured_at" in saved
     printed = json.loads(capsys.readouterr().out.strip())
     assert printed == {"metric": "m", "value": 5.0}
+
+
+def test_startup_insurance_line(tmp_path, monkeypatch, capsys):
+    """An instant SIGKILL (external driver timeout shorter than backend
+    init) must still leave a parseable stale line in the output tail —
+    emitted before any device work, superseded by every later line."""
+    _with_last_good(
+        tmp_path, monkeypatch,
+        {"metric": "cifar10_train_imgs_per_sec_per_chip", "value": 412.95,
+         "measured_at": "2026-08-19T22:58:40Z"})
+    bench._startup_insurance_line()
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["value"] == 412.95 and out["stale"] is True
+    assert "superseded" in out["stale_reason"]
+    assert "2026-08-19" in out["stale_reason"]
+
+
+def test_startup_insurance_silent_without_history(tmp_path, monkeypatch, capsys):
+    # placeholder {} or missing file → print NOTHING at startup (an
+    # explicit null line here would shadow nothing and confuse a tail
+    # parser if the bench is killed before the deadline guard arms)
+    _with_last_good(tmp_path, monkeypatch, {})
+    bench._startup_insurance_line()
+    assert capsys.readouterr().out == ""
+    _with_last_good(tmp_path, monkeypatch, None)
+    bench._startup_insurance_line()
+    assert capsys.readouterr().out == ""
