@@ -224,6 +224,8 @@ def main():
         "batch_per_chip": BATCH,
         "phase": "train_only",
     }
+    if _contended:
+        result["chip_contention"] = True
     _record(result)
 
     # 10-step sampling (sum fences each rep with a scalar transfer)
@@ -276,6 +278,65 @@ def wait_for_axon_relay(max_wait_s: float = 3600.0, poll_s: float = 30.0):
           "anyway", file=sys.stderr, flush=True)
 
 
+_contended = False  # a gate-protocol eval still held the chip at measure time
+
+
+def _gate_eval_pids() -> list[int]:
+    """Pids of gate-protocol chip clients: the 50k eval + sampler probes +
+    prewarm that tools/gate_loop.sh runs between training segments.
+    Read-only /proc scan — these are never signaled, only waited on."""
+    needles = (b"tools/eval_fid.py", b"tools/sample_steps_probe.py",
+               b"tools/sample_reuse_probe.py", b"tools/bench_prewarm.py")
+    me = os.getpid()
+    pids = []
+    for p in Path("/proc").iterdir():
+        if not p.name.isdigit() or int(p.name) == me:
+            continue
+        try:
+            cmd = (p / "cmdline").read_bytes()
+        except OSError:
+            continue
+        if any(n in cmd for n in needles):
+            pids.append(int(p.name))
+    return pids
+
+
+def wait_for_quiet_gate(budget_left_s: float, poll_s: float = 20.0) -> None:
+    """Bounded wait for gate-protocol evals to release the chip.
+
+    Two axon clients CAN coexist (round-3 measured), but timings distort —
+    a driver bench colliding with gate_loop's between-segment eval window
+    (~45 min per ~5.5 h cycle) would under-report. Wait while the deadline
+    budget allows, reserving ~480 s to quiesce + run the warm-cached
+    programs; if the eval outlasts the wait, proceed anyway and mark the
+    result "chip_contention": true so a low number reads honestly."""
+    import sys
+
+    global _contended
+    wait_s = max(0.0, budget_left_s - 480.0)
+    deadline = time.monotonic() + wait_s
+    warned = False
+    while True:
+        pids = _gate_eval_pids()
+        if not pids:
+            if warned:
+                print("# bench: gate eval finished; chip quiet",
+                      file=sys.stderr, flush=True)
+            return
+        if time.monotonic() >= deadline:
+            _contended = True
+            print(f"# bench: gate eval {pids} still on the chip after the "
+                  "wait budget — measuring under contention",
+                  file=sys.stderr, flush=True)
+            return
+        if not warned:
+            print(f"# bench: gate-protocol eval {pids} holds the chip — "
+                  f"waiting up to {wait_s:.0f}s for a quiet window",
+                  file=sys.stderr, flush=True)
+            warned = True
+        time.sleep(poll_s)
+
+
 def _startup_insurance_line() -> None:
     """Emit the last completed result (stale-marked) before ANY device work.
 
@@ -315,6 +376,7 @@ if __name__ == "__main__":
     if time.monotonic() - t_start > budget - 90:
         _emit(_deadline_result())
         raise SystemExit(0)
+    wait_for_quiet_gate(budget - (time.monotonic() - t_start))
     try:
         _cleanup.enter_context(quiesce_chip())
         main()
